@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry is an implemented operator of json_schema_py_spark
+(SURVEY.md §2 + the training-pipeline additions); ``oracle_sql()`` holds the
+independent DuckDB derivation of the same result. The validation oracles do
+NOT re-run the engine's mechanics — they compute the expected violation set
+directly from the deterministic plant arithmetic (sources/synth.py), which
+makes them a true differential check.
 """
 
 from __future__ import annotations
@@ -12,27 +13,593 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- rulesets
+
+LINEITEM_RULESET = {
+    "type": "object",
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 5},
+        "l_discount": {"type": "number", "maximum": 0.06},
+        "l_returnflag": {"enum": ["A", "N"]},
+        "l_linenumber": {"type": "integer", "minimum": 1, "maximum": 7},
+    },
+}
+
+PROPS_RULESET = {
+    "type": "object",
+    "properties": {
+        "props": {
+            "type": "object",
+            "minProperties": 1,
+            "propertyNames": {"pattern": "^[a-z]+$"},
+            "additionalProperties": {"type": "integer", "minimum": 50},
+        }
+    },
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation plan (2 rulesets + uniqueness + FK) over the
+    derived interleaved documents table at sf0.001."""
+    from json_schema_py_spark.plans.validation import run_validation
+    from json_schema_py_spark.sources.synth import (
+        DOCUMENTS_RULESET,
+        MEDIA_DEPENDENCY_RULESET,
+        media_dim,
+        spans_documents,
+    )
+
+    sd = spans_documents(spark, "/root/testdata/sf0.001")
+    run = run_validation(
+        sd,
+        {"structural": DOCUMENTS_RULESET, "media_dep": MEDIA_DEPENDENCY_RULESET},
+        media_dim=media_dim(spark),
+    )
+    return run.violations
+
+
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    return validate(spans_documents(spark, sf_dir), DOCUMENTS_RULESET)
+
+
+def q_validate_media_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.sources.synth import MEDIA_DEPENDENCY_RULESET, spans_documents
+
+    return validate(spans_documents(spark, sf_dir), MEDIA_DEPENDENCY_RULESET)
+
+
+def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, sf_dir)
+    return with_violations(sd, DOCUMENTS_RULESET).select(
+        F.col("src_id"),
+        F.col("valid"),
+        F.size("violations").alias("n_violations"),
+    )
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.uniqueness import duplicate_keys
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    return duplicate_keys(spans_documents(spark, sf_dir), "doc_id")
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.referential import spans_fk_violations
+    from json_schema_py_spark.sources.synth import media_dim, spans_documents
+
+    return spans_fk_violations(spans_documents(spark, sf_dir), media_dim(spark))
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.stats import column_stats
+
+    s = column_stats(
+        _docs(spark, sf_dir), ["n_chars", "lang", "source"], exact_distinct=True
+    )
+    return s.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        F.round("mean", 4).alias("mean_r"),
+    )
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.stats import column_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = column_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact_distinct=True
+    )
+    return s.select(
+        "column", "n_rows", "n_null", "n_distinct", "min", "max",
+        F.round("mean", 4).alias("mean_r"),
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.drift import histogram, psi
+
+    d = _docs(spark, sf_dir)
+    base = histogram(d.where(F.col("doc_id") < 250), "n_chars", 0.0, 600.0, 12)
+    cur = histogram(d.where(F.col("doc_id") >= 250), "n_chars", 0.0, 600.0, 12)
+    return psi(cur, base)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.functions.text import text_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.functions.text import lang_id, quality_metrics
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        quality_metrics(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    ).select(
+        "doc_id",
+        F.col("q.n_chars").alias("n_chars"),
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.stopword_ratio").alias("stopword_ratio"),
+        F.col("q.mean_token_len").alias("mean_token_len"),
+        "lang_pred",
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.functions.text import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ planted copies (ids +100000)."""
+    from json_schema_py_spark.operators.dedup import exact_duplicates
+
+    d = _docs(spark, sf_dir)
+    extra = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    groups = exact_duplicates(d.unionByName(extra))
+    return groups.select(
+        "fingerprint", "cnt", F.col("ids").getItem(0).alias("id_lo"),
+        F.col("ids").getItem(1).alias("id_hi"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, threshold=0.0, bucket_by_token_count=False)
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(25)
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.dedup import minhash_signatures
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    sigs = minhash_signatures(d, num_hashes=4)
+    return sigs.select(
+        "id",
+        *[F.get(F.col("sig"), i).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    extra = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir)
+    return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _emb(spark, sf_dir)
+    extra = e.where(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return embedding_near_dup_pairs(
+        e.unionByName(extra), dim=64, threshold=0.99, n_planes=8
+    ).select("id_a", "id_b", "cos")
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.schema.compiler import validate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "row_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return validate(li, LINEITEM_RULESET, key_col="row_key")
+
+
+def q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.schema.compiler import validate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("props")
+    )
+    return validate(ev, PROPS_RULESET, key_col="event_id")
+
+
+# ------------------------------------------------- non-SQL-expressible ops
+
+
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + quantile sketches (approximate by design → rows-only
+    check; exactness is covered by q_column_stats/q_stats_lineitem)."""
+    from json_schema_py_spark.operators.stats import column_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_stats(li, ["l_quantity", "l_extendedprice"], exact_distinct=False)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate recall → rows-only check; recall vs
+    brute force is asserted in tests/test_dedup_similarity.py)."""
+    from json_schema_py_spark.operators.similarity import ann_lsh_topk
+
+    e = _emb(spark, sf_dir)
+    return ann_lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: payload attach + Arrow-batched feature extract."""
+    from json_schema_py_spark.operators.multimodal import (
+        attach_fake_payloads,
+        extract_media_features,
+    )
+    from json_schema_py_spark.sources.synth import media_dim
+
+    return extract_media_features(attach_fake_payloads(media_dim(spark)))
+
+
+def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail rollup (partition ids are plan-dependent →
+    rows-only check; exactness tested in tests/test_checkpoint.py)."""
+    from json_schema_py_spark.plans.validation import partition_verdicts
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, sf_dir)
+    return partition_verdicts(with_violations(sd, DOCUMENTS_RULESET))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_validate_documents": q_validate_documents,
+        "q_validate_media_dep": q_validate_media_dep,
+        "q_doc_verdicts": q_doc_verdicts,
+        "q_uniqueness": q_uniqueness,
+        "q_referential": q_referential,
+        "q_column_stats": q_column_stats,
+        "q_stats_lineitem": q_stats_lineitem,
+        "q_psi_drift": q_psi_drift,
+        "q_fingerprints": q_fingerprints,
+        "q_text_quality": q_text_quality,
+        "q_token_counts": q_token_counts,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash": q_minhash,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash": q_simhash,
+        "q_ann_topk": q_ann_topk,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_validate_lineitem": q_validate_lineitem,
+        "q_validate_events_props": q_validate_events_props,
+        # rows-only (approximate / plan-dependent / python-batched):
+        "q_sketches": q_sketches,
+        "q_ann_lsh": q_ann_lsh,
+        "q_media_features": q_media_features,
+        "q_partition_verdicts": q_partition_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_IDS_CTE = """
+WITH d AS (
+  SELECT doc_id AS i, text, doc_id % 101 AS p FROM documents
+), ids AS (
+  SELECT i, p, text,
+    CASE
+      WHEN p = 3 THEN 'DOC_x' || CAST(i AS VARCHAR)
+      WHEN p = 8 THEN NULL
+      WHEN p = 9 THEN 'doc-' || lpad(CAST(i - 2 AS VARCHAR), 12, '0')
+      ELSE 'doc-' || lpad(CAST(i AS VARCHAR), 12, '0')
+    END AS did
+  FROM d
+)
+"""
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOPW = "['the','a','an','of','to','and','in','is','it','for']"
+
+
+def _shingles_sql(toks: str, k: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string({toks}[i:i+{k-1}], ' ') "
+        f"for i in range(1, greatest(len({toks}) - {k - 2}, 1))])"
+    )
+
+
+def _hash64_sql(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"
+
+
+def _simhash_sql() -> str:
+    th = f"list_transform({_TOKS}, t -> {_hash64_sql('t', 'sh')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {b}) & 1)) >= len(th) "
+        f"THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(32)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {th} AS th FROM documents WHERE doc_id < 100
+)
+SELECT id, ({bit_terms}) AS simhash FROM base
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = _shingles_sql(_TOKS)
+    return {
+        "q_validate_documents": _IDS_CTE + """
+SELECT did AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/spans/0/offset' AS path, '-1' AS observed FROM ids WHERE p = 1
+UNION ALL
+SELECT did, 'ENUM_MISMATCH', '/spans/0/kind', 'vidoe' FROM ids WHERE p = 2
+UNION ALL
+SELECT did, 'PATTERN_MISMATCH', '/doc_id', did FROM ids WHERE p = 3
+UNION ALL
+SELECT did, 'ARRAY_TOO_SHORT', '/spans', '0' FROM ids WHERE p = 4
+UNION ALL
+SELECT did, 'ARRAY_ITEMS_NOT_UNIQUE', '/spans/' || CAST(1 + i % 4 AS VARCHAR),
+  CASE WHEN i % 3 = 0
+    THEN '{"kind":"media","media_ref":"m/' || CAST((i*31) % 37 AS VARCHAR) || '.png","offset":0}'
+    ELSE '{"kind":"text","text":"' || substr(rpad(text, 64, 'x'), 1, 12) || '","offset":0}'
+  END
+FROM ids WHERE p = 5
+UNION ALL
+SELECT did, 'STRING_TOO_SHORT', '/spans/0/text', '' FROM ids WHERE p = 7
+UNION ALL
+SELECT NULL, 'REQUIRED_PROPERTY_MISSING', '/doc_id', 'None' FROM ids WHERE p = 8
+""",
+        "q_validate_media_dep": _IDS_CTE + """
+SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
+FROM ids WHERE p = 6
+""",
+        "q_doc_verdicts": _IDS_CTE + """
+SELECT i AS src_id,
+  (p NOT IN (1,2,3,4,5,7,8)) AS valid,
+  (CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) AS n_violations
+FROM ids
+""",
+        "q_uniqueness": _IDS_CTE + """
+SELECT did AS doc_id, COUNT(*) AS cnt FROM ids WHERE did IS NOT NULL
+GROUP BY did HAVING COUNT(*) > 1
+""",
+        "q_referential": _IDS_CTE + """
+SELECT did AS doc_id, 'REFERENTIAL_VIOLATION' AS rule_id,
+  '/spans/0/media_ref' AS path,
+  'm/ghost-' || CAST(i AS VARCHAR) || '.png' AS observed
+FROM ids WHERE p = 10
+""",
+        "q_column_stats": """
+SELECT 'n_chars' AS "column", COUNT(*) AS n_rows,
+  COUNT(*) FILTER (n_chars IS NULL) AS n_null,
+  COUNT(DISTINCT n_chars) AS n_distinct,
+  CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str,
+  ROUND(AVG(n_chars), 4) AS mean_r
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) FILTER (lang IS NULL), COUNT(DISTINCT lang),
+  MIN(lang), MAX(lang), NULL FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) FILTER (source IS NULL), COUNT(DISTINCT source),
+  MIN(source), MAX(source), NULL FROM documents
+""",
+        "q_stats_lineitem": """
+SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+  COUNT(*) FILTER (l_quantity IS NULL) AS n_null,
+  COUNT(DISTINCT l_quantity) AS n_distinct,
+  MIN(l_quantity)::DOUBLE AS min, MAX(l_quantity)::DOUBLE AS max,
+  ROUND(AVG(l_quantity), 4) AS mean_r
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) FILTER (l_extendedprice IS NULL),
+  COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice)::DOUBLE,
+  MAX(l_extendedprice)::DOUBLE, ROUND(AVG(l_extendedprice), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) FILTER (l_discount IS NULL),
+  COUNT(DISTINCT l_discount), MIN(l_discount)::DOUBLE, MAX(l_discount)::DOUBLE,
+  ROUND(AVG(l_discount), 4)
+FROM lineitem
+""",
+        "q_psi_drift": """
+WITH b AS (
+  SELECT LEAST(GREATEST(FLOOR(n_chars / 50.0), 0), 11)::INT AS bucket,
+    (doc_id >= 250) AS cur
+  FROM documents
+), h AS (
+  SELECT bucket,
+    COUNT(*) FILTER (cur) AS c_cur,
+    COUNT(*) FILTER (NOT cur) AS c_base
+  FROM b GROUP BY bucket
+), t AS (
+  SELECT SUM(c_cur) AS t_cur, SUM(c_base) AS t_base FROM h
+)
+SELECT ROUND(SUM(
+  (GREATEST(c_cur / t_cur, 1e-6) - GREATEST(c_base / t_base, 1e-6))
+  * LN(GREATEST(c_cur / t_cur, 1e-6) / GREATEST(c_base / t_base, 1e-6))
+), 6) AS psi
+FROM h, t
+""",
+        "q_fingerprints": """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "q_text_quality": f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  ROUND(CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, t -> list_contains({_STOPW}, lower(t))))::DOUBLE / len(toks)
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  ROUND(CASE WHEN len(toks) > 0
+    THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+    ELSE 0.0 END, 6) AS mean_token_len,
+  CASE WHEN CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, t -> list_contains({_STOPW}, lower(t))))::DOUBLE / len(toks)
+    ELSE 0.0 END >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM base
+""",
+        "q_token_counts": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT)) AS bpe_tokens
+FROM base
+""",
+        "q_exact_dedup": """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+  2::BIGINT AS cnt, doc_id AS id_lo, doc_id + 100000 AS id_hi
+FROM documents WHERE doc_id < 10
+""",
+        "q_ngram_jaccard": f"""
+WITH base AS (
+  SELECT doc_id AS id, {sh} AS sh FROM documents WHERE doc_id < 120
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))
+    ELSE 0.0 END, 6) AS jaccard
+FROM base a, base b WHERE a.id < b.id
+ORDER BY jaccard DESC, id_a, id_b LIMIT 25
+""",
+        "q_minhash": f"""
+WITH base AS (
+  SELECT doc_id AS id, {sh} AS sh FROM documents WHERE doc_id < 50
+)
+SELECT id,
+  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh0')})) AS mh0,
+  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh1')})) AS mh1,
+  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh2')})) AS mh2,
+  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh3')})) AS mh3
+FROM base
+""",
+        # oracle = full brute-force Jaccard over the same corpus: the testdata
+        # itself carries planted near-dup pairs (plus our +100000 copies), and
+        # the banded LSH must reach them all (16 hashes / 4 bands keeps
+        # P[miss] < 2% at s=0.9; fixed hashes make the check deterministic)
+        "q_minhash_lsh_pairs": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+), base AS (
+  SELECT doc_id AS id, {_shingles_sql(_TOKS)} AS sh FROM corpus
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM base a, base b
+WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        "q_simhash": _simhash_sql(),
+        "q_ann_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.v, e.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sc
+  FROM q, e WHERE e.vec_id <> q.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+""",
+        "q_embedding_near_dup": """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
+FROM embeddings WHERE vec_id < 5
+""",
+        "q_validate_lineitem": """
+WITH li AS (
+  SELECT l_orderkey * 10 + l_linenumber AS row_key, l_quantity, l_discount, l_returnflag
+  FROM lineitem
+)
+SELECT row_key AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/l_quantity' AS path,
+  CAST(l_quantity AS VARCHAR) AS observed
+FROM li WHERE l_quantity < 5
+UNION ALL
+SELECT row_key, 'NUMBER_TOO_LARGE', '/l_discount', CAST(l_discount AS VARCHAR)
+FROM li WHERE l_discount > 0.06
+UNION ALL
+SELECT row_key, 'ENUM_MISMATCH', '/l_returnflag', l_returnflag
+FROM li WHERE l_returnflag NOT IN ('A', 'N')
+""",
+        "q_validate_events_props": """
+SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/props/k' AS path,
+  (props::JSON ->> 'k') AS observed
+FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+    }

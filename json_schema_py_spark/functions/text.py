@@ -1,0 +1,105 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, whole-stage
+codegen, no UDFs — and every one has an exact DuckDB-SQL mirror (used by the
+correctness oracles in __spark_entry__). Hashing is md5-hex-prefix → bigint,
+the one 64-bit hash both engines compute identically:
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10) :: bigint
+    DuckDB: ('0x' || substr(md5(s), 1, 15)) :: BIGINT
+
+15 hex digits = 60 bits, so the value always fits a signed 64-bit int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, deterministic stopword list — shared with the oracles
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+
+def stable_hash64(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB (see module doc)."""
+    s = F.concat(F.lit(seed), F.lit("|"), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (DuckDB: string_split + list_filter)."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-flavored token estimate: word pieces of ≤4 chars — every word of
+    length L contributes ceil(L/4) pieces. A cheap, deterministic proxy for
+    subword tokenizers (DuckDB mirror: list_sum over ceil(len/4))."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text: lowercase, strip non-[a-z0-9 ], collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def text_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (document identity for
+    exact dedup; rolling-hash seed for near-dup families)."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles ('a b c' style), the unit of n-gram Jaccard /
+    MinHash. Empty array when the doc has fewer than k tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(list(STOPWORDS))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_metrics(col: Column) -> Column:
+    """Struct of quality signals (length, token count, stopword ratio, mean
+    token length) — thresholded downstream into keep/drop verdicts."""
+    return F.struct(
+        F.length(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        F.round(mean_token_len(col), 6).alias("mean_token_len"),
+    )
+
+
+def lang_id(col: Column, en_threshold: float = 0.03) -> Column:
+    """N-gram-free language heuristic: English stopword hit-rate. Real
+    pipelines plug a fastText-style model in via a pandas UDF; the heuristic
+    keeps the engine dependency-free and deterministic."""
+    return F.when(stopword_ratio(col) >= en_threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
