@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline metric follows BASELINE.json: validated documents/sec in a
+SINGLE fused stats+constraint pass over the interleaved documents table.
+The spans corpus is replicated deterministically ($BENCH_REPLICATION, default
+400 → ~2M docs at sf0.1) so the engine is measured on millions of documents,
+not the 5k-row seed table; reference comparison: 29,302 docs/sec
+compile-once single-thread (BASELINE.md).
+
+--scaling: re-runs the headline job in two fresh JVMs at local[8] and
+local[32] (N vs 4N executors stand-in, per BASELINE.md) on IDENTICAL input
+and reports throughput at both + efficiency = T(4N)/(4·T(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "400"))
+
+
+def _replicated_spans(spark, sf_dir: str, replication: int):
+    """Deterministic corpus scale-up, MATERIALIZED: copy r gets doc indices
+    i + r*N; the derived interleaved spans table is written to parquet once
+    (cached across bench runs) so the headline measures the ENGINE reading
+    the input_hint-shaped table — not the synthetic derivation."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{replication}"
+    spans_path = f"/tmp/bench_spans_{tag}"
+    if not os.path.exists(spans_path):
+        reps = spark.range(replication).select(F.col("id").alias("rep"))
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        flat = f"/tmp/bench_docs_{tag}"
+        link_dir = flat + "_dir"
+        big.repartition(max(CPUS * 2, 8)).write.mode("overwrite").parquet(flat)
+        os.makedirs(link_dir, exist_ok=True)
+        link = f"{link_dir}/documents.parquet"
+        if not os.path.exists(link):
+            os.symlink(flat, link)
+        spans_documents(spark, link_dir).repartition(256).write.mode(
+            "overwrite"
+        ).parquet(spans_path)
+    return spark.read.parquet(spans_path), n * replication
+
+
+def run_benchmarks(cpus: int) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+    from json_schema_py_spark.operators.referential import spans_fk_violations
+    from json_schema_py_spark.operators.similarity import brute_force_topk
+    from json_schema_py_spark.operators.stats import column_stats
+    from json_schema_py_spark.operators.uniqueness import duplicate_keys
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import (
+        DOCUMENTS_RULESET,
+        media_dim,
+        spans_documents,
+    )
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    # -- headline: single fused stats+constraint pass over replicated corpus.
+    # Run twice: first run pays one-time plan compile + codegen (~seconds,
+    # amortized to nothing on a real cluster run); steady-state is the metric.
+    spans_big, n_docs = _replicated_spans(spark, SF_DIR, REPLICATION)
+
+    def fused_pass():
+        ann = with_violations(spans_big, DOCUMENTS_RULESET)
+        return ann.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size("violations")).alias("violations"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("null_ids"),
+            F.min(F.size("spans")).alias("min_spans"),
+            F.max(F.size("spans")).alias("max_spans"),
+            F.approx_count_distinct("doc_id", 0.05).alias("distinct_ids"),
+        ).collect()[0]
+
+    times = []
+    for _ in range(int(os.environ.get("BENCH_FUSED_REPS", "2"))):
+        t0 = time.time()
+        row = fused_pass()
+        times.append(time.time() - t0)
+    queries["fused_validate_stats_cold"] = round(times[0], 3)
+    fused_sec = min(times)
+    queries["fused_validate_stats"] = round(fused_sec, 3)
+    assert row["docs"] == n_docs, (row["docs"], n_docs)
+    docs_per_sec = n_docs / fused_sec
+
+    # -- cross-row checks on the replicated corpus
+    t0 = time.time()
+    duplicate_keys(spans_big, "doc_id").count()
+    queries["uniqueness_salted"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    spans_fk_violations(spans_big, media_dim(spark)).count()
+    queries["referential_fk"] = round(time.time() - t0, 3)
+
+    # -- engine ops at native sf scale
+    sd = spans_documents(spark, SF_DIR)
+    t0 = time.time()
+    with_violations(sd, DOCUMENTS_RULESET).where(~F.col("valid")).count()
+    queries["validate_native_sf"] = round(time.time() - t0, 3)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t0 = time.time()
+    column_stats(li, ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]).collect()
+    queries["stats_lineitem"] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_pairs(docs, threshold=0.7).count()
+    queries["minhash_lsh"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()
+    queries["ann_bruteforce"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    result = {
+        "metric": "validated_docs_per_sec_fused_pass",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs": n_docs,
+        "violations": int(row["violations"]),
+        "cpus": cpus,
+        "total_sec": round(total, 2),
+        "reference_docs_per_sec": 29302,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling() -> None:
+    """Two-parallelism evidence: same job at N and 4N cores (default
+    local[8] vs local[32]; override via BENCH_SCALE_LEVELS="4,16")."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "8,32").split(","))
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_FUSED_REPS="3")
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=1800
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = t_hi / (4 * t_lo)
+    print(json.dumps({
+        f"throughput_local{lo}_docs_per_sec": t_lo,
+        f"throughput_local{hi}_docs_per_sec": t_hi,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        f"queries_local{lo}": results[lo]["queries"],
+        f"queries_local{hi}": results[hi]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks(CPUS)))

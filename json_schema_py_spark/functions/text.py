@@ -62,11 +62,25 @@ def text_fingerprint(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-shingles ('a b c' style), the unit of n-gram Jaccard /
-    MinHash. Empty array when the doc has fewer than k tokens."""
+    MinHash. Empty array when the doc has fewer than k tokens.
+
+    PERF: built by zipping k shifted copies of the token array, NOT by
+    ``transform(sequence, i -> slice(toks, i, k))`` — an outer expression
+    referenced inside a higher-order-function lambda is RE-EVALUATED PER
+    ELEMENT (no CSE inside codegen'd lambdas), which made the slice
+    formulation re-tokenize the document once per shingle: O(n²) per row,
+    ~40x slower end-to-end on the minhash path."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    shifted = [toks] + [
+        F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(1, k)
+    ]
+    zipped = shifted[0]
+    for nxt in shifted[1:]:
+        zipped = F.zip_with(zipped, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with nulls → the trailing (k-1) entries
+    # are malformed partial shingles; slice them off
+    sh = F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.array_distinct(sh)
 
 

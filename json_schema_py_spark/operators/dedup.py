@@ -32,12 +32,13 @@ from json_schema_py_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from json_schema_py_spark.util import ensure_parallelism
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, cnt, ids) for every group of byte-identical (normalized)
     texts. ids is the sorted id list — deterministic output."""
-    fp = df.select(
+    fp = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), text_fingerprint(F.col(text_col)).alias("fingerprint")
     )
     return (
@@ -59,20 +60,58 @@ def minhash_signatures(
     sig_i = min over shingles of hash64(seed_i | shingle). One projection,
     no shuffle; at 10^12 docs this is the map stage of the LSH pipeline."""
     sh = word_shingles(F.col(text_col), shingle_k)
-
-    # NB: seeds must be bound via a closure factory — a `lambda s, i=i:`
-    # default arg makes PySpark see a 2-arg lambda and pass the array INDEX
-    # as the second argument
-    def _hasher(seed: str):
-        return lambda s: stable_hash64(s, seed=seed)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, _hasher(f"mh{i}")))
-            for i in range(num_hashes)
-        ]
-    )
+    sig = F.when(F.size(sh) > 0, _minhash_sig(sh, num_hashes))
     return df.select(F.col(id_col).alias("id"), sh.alias("shingles"), sig.alias("sig"))
+
+
+_SENTINEL = 1 << 62  # > any 60-bit md5-prefix hash
+
+
+def _minhash_sig(sh: Column, num_hashes: int) -> Column:
+    """All num_hashes minhashes in ONE pass over the shingle array.
+
+    PERF: the naive ``array(array_min(transform(sh, h_i)) for i)`` embeds
+    num_hashes COPIES of the shingle expression — projection collapse plus
+    the lack of CSE across higher-order-function lambdas re-tokenizes the
+    document once per hash (measured 17x slowdown). Instead: one transform
+    computes all hashes per shingle, one aggregate folds element-wise mins
+    (lambda VARIABLES are bound once, so ``acc`` references are free)."""
+    hashed = F.transform(
+        sh, lambda s: F.array(*[stable_hash64(s, seed=f"mh{i}") for i in range(num_hashes)])
+    )
+    init = F.array(*[F.lit(_SENTINEL).cast("long")] * num_hashes)
+    return F.aggregate(
+        hashed, init, lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+    )
+
+
+def _band_keys(sh: Column, num_hashes: int, bands: int) -> Column:
+    """Array of per-band bucket keys, still in the same single pass: the
+    aggregate's finish lambda sees the signature as a bound variable."""
+    rows_per_band = num_hashes // bands
+    hashed = F.transform(
+        sh, lambda s: F.array(*[stable_hash64(s, seed=f"mh{i}") for i in range(num_hashes)])
+    )
+    init = F.array(*[F.lit(_SENTINEL).cast("long")] * num_hashes)
+
+    def finish(acc: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
+                "-",
+                F.transform(
+                    F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                    lambda i: F.get(acc, i).cast("string"),
+                ),
+            ),
+        )
+
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+        finish,
+    )
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -97,25 +136,20 @@ def minhash_lsh_pairs(
     candidate (classic S-curve: P[candidate] = 1-(1-s^r)^b). The bucket join
     shuffles on (band, bucket-key) — hot buckets (boilerplate docs) are the
     skew risk; AQE skew-join splits them, and the verify step re-filters, so
-    correctness never depends on bucket sizes."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    correctness never depends on bucket sizes.
 
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "-",
-            *[
-                F.get(F.col("sig"), b * rows_per_band + r).cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        band_rows.append(
-            sigs.select(
-                F.lit(b).alias("band"), key.alias("bkey"), F.col("id"), F.col("shingles")
-            )
-        )
-    banded = reduce(lambda a, b: a.unionByName(b), band_rows)
+    Plan shape: band keys come out of ONE aggregate pass per side
+    (_band_keys), fanned out by posexplode — the generator argument is
+    evaluated once per row, so the whole map stage costs ~2 shingle passes
+    per side regardless of num_hashes/bands. At 10^12 docs the sigs
+    projection is what you'd persist/bucket on the lake; here both join
+    branches just recompute it."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    banded = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        sh.alias("shingles"),
+        F.posexplode(_band_keys(sh, num_hashes, bands)).alias("band", "bkey"),
+    )
 
     left = banded.select("band", "bkey", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     right = banded.select("band", "bkey", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -146,7 +180,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram-Jaccard near-dup pairs, blocked by token-count bucket
     (similar docs have similar lengths; all-pairs across the table is never
     run — each bucket is a bounded self-join)."""
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
         (F.size(tokens(F.col(text_col))) / 16).cast("int").alias("lb"),
@@ -172,17 +206,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Pure expression (no UDF): per bit, an F.aggregate popcount over the token
     hash array. Identical docs → identical simhash; near-dups differ in a few
     bits (pair with a Hamming-ball join downstream)."""
-    th = F.transform(tokens(F.col(text_col)), lambda t: stable_hash64(t, seed="sh"))
-    n = F.size(th)
+    df = ensure_parallelism(df)
+    # ONE pass (see _minhash_sig PERF note): per token, a (bits+1)-vector of
+    # bit indicators + a trailing 1 (the token counter); one aggregate sums
+    # them element-wise; the finish lambda — where the fold result is a bound
+    # variable — majority-votes each bit and packs the fingerprint.
+    def _bit_vec(h: Column) -> Column:
+        # h is a bound lambda variable → 32 references are free; the python
+        # loop unrolls because shiftright needs a literal bit count
+        return F.array(
+            *[
+                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+                for b in range(bits)
+            ],
+            F.lit(1).cast("long"),
+        )
 
-    def _popcount(b: int):  # closure factory: see minhash_signatures note
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+    per_token = F.transform(
+        tokens(F.col(text_col)),
+        # inner single-element transform binds the md5 hash ONCE per token;
+        # inlining it would re-hash once per bit
+        lambda t: F.get(F.transform(F.array(stable_hash64(t, seed="sh")), _bit_vec), 0),
+    )
+    init = F.array(*[F.lit(0).cast("long")] * (bits + 1))
 
-    val = F.lit(0).cast("bigint")
-    for b in range(bits):
-        cnt_b = F.aggregate(th, F.lit(0).cast("long"), _popcount(b))
-        bit_b = (cnt_b * 2 >= n).cast("bigint")
-        val = val + bit_b * F.lit(1 << b)
+    def finish(acc: Column) -> Column:
+        n = F.get(acc, bits)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.get(acc, b) * 2 >= n, F.pow(F.lit(2.0), b).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+
+    val = F.aggregate(
+        per_token, init, lambda acc, tv: F.zip_with(acc, tv, lambda a, b: a + b), finish
+    )
     return df.select(F.col(id_col).alias("id"), val.alias("simhash"))
 
 

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from json_schema_py_spark.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -57,7 +59,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -106,27 +108,36 @@ def ann_lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket. At scale the corpus is bucketed once (bucketBy on the lake);
-    recall rises with fewer planes / multi-probe — this is the knob, measured
-    against brute_force_topk in tests."""
-    c = corpus.select(
+    bucket(s). At scale the corpus is bucketed once (bucketBy on the lake);
+    the QUERY side multi-probes — with ``probe_radius=1`` each query also
+    visits every bucket at Hamming distance 1 (flip one sign bit), which is
+    the classic recall lever: candidate volume grows ×(1+n_planes) while the
+    corpus stays untouched. Recall is measured against brute_force_topk in
+    tests/test_dedup_similarity.py."""
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    probes = [sig]
+    if probe_radius >= 1:
+        probes += [sig.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("_score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
@@ -155,7 +166,7 @@ def embedding_near_dup_pairs(
     LSH-bucketed: near-identical vectors collide in all planes, so bucket
     equality keeps recall ~1 at very high thresholds while cutting the pair
     space by ~2^n_planes."""
-    v = df.select(
+    v = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),

@@ -30,8 +30,12 @@ def sequence_mismatches(
     """Docs whose span sequence changed between two snapshots (or that
     appear in only one). Empty result = exact span-sequence equality.
     Implemented as a symmetric anti-join on (doc_id, fingerprint)."""
-    b = span_fingerprints(before, spans_col)
-    a = span_fingerprints(after, spans_col)
+    b = span_fingerprints(before, spans_col).withColumn(
+        "doc_id", F.coalesce("doc_id", F.lit("\x00null"))
+    )
+    a = span_fingerprints(after, spans_col).withColumn(
+        "doc_id", F.coalesce("doc_id", F.lit("\x00null"))
+    )
     on = ["doc_id", "span_fp"]
     only_b = b.join(a, on, "left_anti").withColumn("side", F.lit("before"))
     only_a = a.join(b, on, "left_anti").withColumn("side", F.lit("after"))

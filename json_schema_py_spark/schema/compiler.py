@@ -2,25 +2,40 @@
 
 The engine's physical layer. Where the reference walks each document with a
 per-row recursive CPython interpreter (reference: json_schema/validator.py:31-108),
-this binder emits ONE nested ``pyspark.sql.Column`` expression per ruleset that
-evaluates every constraint for a row and returns
-``array<struct<rule_id:string, path:string, observed:string>>`` — empty when
-the row is valid. Everything stays inside whole-stage codegen: higher-order
-array functions (transform/filter/exists/flatten) express nested-array
-validation with zero shuffles and zero Python in the executor path.
+this binder emits per ruleset:
+
+* a **boolean fast path** — one pure-predicate Column (`fires`) that tells
+  whether ANY constraint fails for the row. ANDs/ORs/`exists` only: no
+  structs, no strings, no arrays are built. This is what scans 10^12 mostly-
+  clean documents: allocation-free, fully inside codegen.
+* a **violation constructor** — the full
+  ``array<struct<rule_id:string, path:string, observed:string>>`` with
+  RFC-6901 paths and stringified observed values, evaluated ONLY for rows
+  the fast path flagged (typically a few percent).
+
+``compile_ruleset`` stitches them: ``when(fires, build_array).otherwise([])``.
 
 Presence convention: a NULL value is an ABSENT property (Parquet/Iceberg
 structs always carry every field). ``required`` = IS NOT NULL; all other
 checks skip null values — mirroring the reference, which only validates keys
 that are present (reference: json_schema/constraints/objects.py:132-140).
 
-Violation paths are RFC-6901 JSON Pointers built with string concat over
-``transform`` indices (reference pointer machinery: json_schema/utils.py:8-119).
+PERF invariants this file maintains (each was measured, see git history):
+* never reference an outer EXPRESSION inside a higher-order-function lambda
+  when it's per-element-loop-invariant — HOF lambdas have no CSE and re-
+  evaluate it per element; bind it as a lambda variable via a single-element
+  ``transform`` instead;
+* never build the same expensive expression into N sibling projections —
+  projection collapse duplicates the tree (the row itself is bound once as a
+  lambda variable in compile_ruleset for this reason);
+* closure factories, never `lambda x, k=k:` default args — PySpark counts
+  declared parameters to decide whether to pass the element index.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -38,9 +53,6 @@ VIOLATION_STRUCT = T.StructType(
     ]
 )
 VIOLATION_TYPE = T.ArrayType(VIOLATION_STRUCT)
-
-# (value_col, path_col) -> array<violation> column
-Binder = Callable[[Column, Column], Column]
 
 FLOAT_TOLERANCE = 1e-10  # reference: json_schema/constraints/numbers.py:97-113
 
@@ -62,21 +74,6 @@ def _maybe(cond: Column, code: str, path: Column, observed: Column) -> Column:
     return F.when(cond, _viol(code, path, observed))
 
 
-def _collect(maybes: list[Column], child_arrays: list[Column]) -> Column:
-    """Fuse nullable violation structs + child violation arrays into one array."""
-    arrs: list[Column] = []
-    if maybes:
-        arrs.append(
-            F.filter(
-                F.array(*maybes).cast(VIOLATION_TYPE), lambda x: x.isNotNull()
-            )
-        )
-    arrs.extend(child_arrays)
-    if not arrs:
-        return _empty()
-    return arrs[0] if len(arrs) == 1 else F.concat(*arrs)
-
-
 def json_type_of(dtype: T.DataType) -> str:
     """Spark static type → JSON type name (reference: json_schema/utils.py:126-134,174-201).
 
@@ -96,31 +93,24 @@ def json_type_of(dtype: T.DataType) -> str:
         return "object"
     if isinstance(dtype, T.NullType):
         return "null"
-    if isinstance(dtype, (T.DateType, T.TimestampType)):
-        return "string"  # engine extension: temporal columns validate as strings
-    return "string"
+    return "string"  # temporal columns validate as strings (engine extension)
 
 
 def _type_matches(json_type: str, allowed: list[str]) -> bool:
     if json_type in allowed:
         return True
     # one-way hierarchy: integer ⊆ number (reference: json_schema/utils.py:137-139)
-    if json_type == "integer" and "number" in allowed:
-        return True
-    return False
+    return json_type == "integer" and "number" in allowed
 
 
 def py_str(col: Column, dtype: T.DataType) -> Column:
     """Stringify an observed value, approximating Python str() rendering
-    (reference stringifies observed values via str(); SURVEY.md §7 notes the
-    exact-parity caveats — booleans and composites are the cases that differ,
-    handled here; float scientific-notation corners are documented deviations)."""
+    (booleans and composites handled; float scientific-notation corners are
+    documented deviations — SURVEY.md §7)."""
     if isinstance(dtype, T.BooleanType):
         return F.when(col, F.lit("True")).otherwise(F.lit("False"))
     if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
         return F.to_json(col)
-    if isinstance(dtype, (T.DateType, T.TimestampType)):
-        return col.cast("string")
     return col.cast("string")
 
 
@@ -146,8 +136,8 @@ def _py_regex_search(pattern: str, s: str) -> bool:
 
 def _py_string_rule_ok(rule: Rule, s: str) -> bool:
     """Driver-side evaluation of a string-only rule against a static key name
-    (used for propertyNames over StructType, whose keys are compile-time
-    constants). reference: json_schema/constraints/objects.py:118-123."""
+    (propertyNames over StructType: keys are compile-time constants).
+    reference: json_schema/constraints/objects.py:118-123."""
     if rule.types is not None and "string" not in rule.types:
         return False
     if rule.min_length is not None and len(s) < rule.min_length:
@@ -165,9 +155,7 @@ def _py_string_rule_ok(rule: Rule, s: str) -> bool:
 
 def _enum_compatible(dtype: T.DataType, values: list[Any]) -> list[Any]:
     """Enum values comparable with the column's static type under Python ==
-    semantics (1 == True, 1 == 1.0 — reference: json_schema/constraints/enums.py:36-39).
-    Typed columns sidestep most cross-type traps; booleans map onto numeric
-    truth values for numeric columns, and vice versa."""
+    semantics (1 == True, 1 == 1.0 — reference: json_schema/constraints/enums.py:36-39)."""
     jt = json_type_of(dtype)
     out: list[Any] = []
     for v in values:
@@ -184,10 +172,30 @@ def _enum_compatible(dtype: T.DataType, values: list[Any]) -> list[Any]:
     return out
 
 
-class RuleBinder:
-    """Compiles a Rule tree against a Spark DataType into a Binder closure."""
+@dataclass
+class Check:
+    """One leaf constraint: a pure predicate + a violation constructor."""
 
-    def bind(self, rule: Rule, dtype: T.DataType) -> Binder:
+    cond: Callable[[Column], Column]  # value non-null is assumed
+    emit: Callable[[Column, Column], Column]  # (col, path) -> nullable struct
+
+
+@dataclass
+class Bound:
+    """A compiled rule node."""
+
+    viol: Callable[[Column, Column], Column]  # (col, path) -> array<violation>
+    fires: Callable[[Column], Column]  # (col) -> boolean
+
+
+def _never(col: Column) -> Column:
+    return F.lit(False)
+
+
+class RuleBinder:
+    """Compiles a Rule tree against a Spark DataType into Bound closures."""
+
+    def bind(self, rule: Rule, dtype: T.DataType) -> Bound:
         jt = json_type_of(dtype)
 
         # --- type gate: static mismatch short-circuits everything, exactly as
@@ -195,325 +203,316 @@ class RuleBinder:
         # (reference: json_schema/constraints/base.py:284-289) ---
         if rule.types is not None and not _type_matches(jt, rule.types):
             if jt == "null":
-                # NullType column: every value is null == absent; nothing fires
-                return lambda col, path: _empty()
+                # NullType column: every value is null == absent
+                return Bound(lambda col, path: _empty(), _never)
+            return Bound(
+                lambda col, path, dt=dtype: F.filter(
+                    F.array(
+                        _maybe(
+                            col.isNotNull(),
+                            ErrorCode.TYPE_ERROR.value,
+                            path,
+                            py_str(col, dt),
+                        )
+                    ).cast(VIOLATION_TYPE),
+                    lambda x: x.isNotNull(),
+                ),
+                lambda col: col.isNotNull(),
+            )
 
-            def type_error(col: Column, path: Column) -> Column:
-                return _collect(
-                    [_maybe(col.isNotNull(), ErrorCode.TYPE_ERROR.value, path, py_str(col, dtype))],
-                    [],
-                )
+        checks: list[Check] = []
+        children: list[Bound] = []  # child closures already wired to this col
 
-            return type_error
-
-        checks: list[Callable[[Column, Column], Optional[Column]]] = []
-        children: list[Callable[[Column, Column], Column]] = []
-
-        # --- enum / const ---
-        if rule.enum is not None:
-            vals = _enum_compatible(dtype, rule.enum)
-            if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
-                # composite enum: compare via canonical JSON (engine deviation;
-                # reference uses Python == — semantics equal for typed data)
-                import json as _json
-
-                jvals = [_json.dumps(v, separators=(",", ":"), sort_keys=True) for v in vals]
-                checks.append(
-                    lambda col, path, jvals=jvals, dt=dtype: _maybe(
-                        ~F.to_json(col).isin(jvals) if jvals else F.lit(True),
-                        ErrorCode.ENUM_MISMATCH.value,
-                        path,
-                        py_str(col, dt),
-                    )
-                )
-            else:
-                checks.append(
-                    lambda col, path, vals=vals, dt=dtype: _maybe(
-                        ~col.isin(vals) if vals else F.lit(True),
-                        ErrorCode.ENUM_MISMATCH.value,
-                        path,
-                        py_str(col, dt),
-                    )
-                )
-        if rule.const_set:
-            cvals = _enum_compatible(dtype, [rule.const])
+        def add(cond_fn, code: str, path_fn, obs_fn) -> None:
             checks.append(
-                lambda col, path, cvals=cvals, dt=dtype: _maybe(
-                    (col != F.lit(cvals[0])) if cvals else F.lit(True),
-                    ErrorCode.CONST_MISMATCH.value,
-                    path,
-                    py_str(col, dt),
+                Check(
+                    cond=cond_fn,
+                    emit=lambda col, path, c=cond_fn, pf=path_fn, of=obs_fn, cd=code: _maybe(
+                        c(col), cd, pf(col, path), of(col)
+                    ),
                 )
             )
 
-        # --- scalar: string (reference: json_schema/constraints/strings.py:12-118) ---
+        def self_path(col: Column, path: Column) -> Column:
+            return path
+
+        # --- enum / const (reference: enums.py:11-56, consts.py:11-55) ---
+        if rule.enum is not None:
+            vals = _enum_compatible(dtype, rule.enum)
+            if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
+                import json as _json
+
+                jvals = [_json.dumps(v, separators=(",", ":"), sort_keys=True) for v in vals]
+                add(
+                    (lambda col, j=jvals: ~F.to_json(col).isin(j) if j else F.lit(True)),
+                    ErrorCode.ENUM_MISMATCH.value,
+                    self_path,
+                    lambda col, dt=dtype: py_str(col, dt),
+                )
+            else:
+                add(
+                    (lambda col, v=vals: ~col.isin(v) if v else F.lit(True)),
+                    ErrorCode.ENUM_MISMATCH.value,
+                    self_path,
+                    lambda col, dt=dtype: py_str(col, dt),
+                )
+        if rule.const_set:
+            cvals = _enum_compatible(dtype, [rule.const])
+            add(
+                (lambda col, v=cvals: (col != F.lit(v[0])) if v else F.lit(True)),
+                ErrorCode.CONST_MISMATCH.value,
+                self_path,
+                lambda col, dt=dtype: py_str(col, dt),
+            )
+
+        # --- string (reference: json_schema/constraints/strings.py:12-118) ---
         if jt == "string":
+            sstr = lambda col: col.cast("string")  # noqa: E731
             if rule.min_length is not None:
-                checks.append(
-                    lambda col, path, n=rule.min_length: _maybe(
-                        F.length(col) < n, ErrorCode.STRING_TOO_SHORT.value, path, col
-                    )
+                add(
+                    lambda col, n=rule.min_length: F.length(col) < n,
+                    ErrorCode.STRING_TOO_SHORT.value,
+                    self_path,
+                    sstr,
                 )
             if rule.max_length is not None:
-                checks.append(
-                    lambda col, path, n=rule.max_length: _maybe(
-                        F.length(col) > n, ErrorCode.STRING_TOO_LONG.value, path, col
-                    )
+                add(
+                    lambda col, n=rule.max_length: F.length(col) > n,
+                    ErrorCode.STRING_TOO_LONG.value,
+                    self_path,
+                    sstr,
                 )
             if rule.pattern is not None:
                 try:
                     re.compile(rule.pattern)
-                    ok = True
+                    pattern_ok = True
                 except re.error:
-                    ok = False
-                if ok:
+                    pattern_ok = False
+                if pattern_ok:
                     # rlike is search-anchored like re.search
                     # (reference: json_schema/constraints/strings.py:93)
-                    checks.append(
-                        lambda col, path, p=rule.pattern: _maybe(
-                            ~col.rlike(p), ErrorCode.PATTERN_MISMATCH.value, path, col
-                        )
+                    add(
+                        lambda col, p=rule.pattern: ~col.rlike(p),
+                        ErrorCode.PATTERN_MISMATCH.value,
+                        self_path,
+                        sstr,
                     )
                 else:
-                    # invalid regex: lazily detected, every validated value flags
-                    # SCHEMA_INVALID (reference: json_schema/constraints/strings.py:81-91)
-                    checks.append(
-                        lambda col, path: _maybe(
-                            F.lit(True), ErrorCode.SCHEMA_INVALID.value, path, col
-                        )
+                    # invalid regex: lazily detected per value
+                    # (reference: json_schema/constraints/strings.py:81-91)
+                    add(
+                        lambda col: F.lit(True),
+                        ErrorCode.SCHEMA_INVALID.value,
+                        self_path,
+                        sstr,
                     )
 
-        # --- scalar: number (reference: json_schema/constraints/numbers.py:11-137) ---
+        # --- number (reference: json_schema/constraints/numbers.py:11-137) ---
         if jt in ("integer", "number"):
-            num = lambda c: c.cast("double")  # noqa: E731
+            pstr = lambda col, dt=dtype: py_str(col, dt)  # noqa: E731
             if rule.minimum is not None:
-                if rule.exclusive_minimum:  # draft-04 boolean exclusive
-                    checks.append(
-                        lambda col, path, lo=rule.minimum, dt=dtype: _maybe(
-                            num(col) <= F.lit(float(lo)),
-                            ErrorCode.NUMBER_TOO_SMALL.value,
-                            path,
-                            py_str(col, dt),
-                        )
-                    )
+                lo = float(rule.minimum)
+                if rule.exclusive_minimum:  # draft-04 boolean exclusives
+                    add(lambda col, v=lo: col.cast("double") <= v,
+                        ErrorCode.NUMBER_TOO_SMALL.value, self_path, pstr)
                 else:
-                    checks.append(
-                        lambda col, path, lo=rule.minimum, dt=dtype: _maybe(
-                            num(col) < F.lit(float(lo)),
-                            ErrorCode.NUMBER_TOO_SMALL.value,
-                            path,
-                            py_str(col, dt),
-                        )
-                    )
+                    add(lambda col, v=lo: col.cast("double") < v,
+                        ErrorCode.NUMBER_TOO_SMALL.value, self_path, pstr)
             if rule.maximum is not None:
+                hi = float(rule.maximum)
                 if rule.exclusive_maximum:
-                    checks.append(
-                        lambda col, path, hi=rule.maximum, dt=dtype: _maybe(
-                            num(col) >= F.lit(float(hi)),
-                            ErrorCode.NUMBER_TOO_LARGE.value,
-                            path,
-                            py_str(col, dt),
-                        )
-                    )
+                    add(lambda col, v=hi: col.cast("double") >= v,
+                        ErrorCode.NUMBER_TOO_LARGE.value, self_path, pstr)
                 else:
-                    checks.append(
-                        lambda col, path, hi=rule.maximum, dt=dtype: _maybe(
-                            num(col) > F.lit(float(hi)),
-                            ErrorCode.NUMBER_TOO_LARGE.value,
-                            path,
-                            py_str(col, dt),
-                        )
-                    )
+                    add(lambda col, v=hi: col.cast("double") > v,
+                        ErrorCode.NUMBER_TOO_LARGE.value, self_path, pstr)
             if rule.multiple_of is not None:
                 k = rule.multiple_of
                 if jt == "integer" and isinstance(k, int):
-                    checks.append(
-                        lambda col, path, k=k, dt=dtype: _maybe(
-                            F.pmod(col, F.lit(k)) != 0,
-                            ErrorCode.NUMBER_NOT_MULTIPLE.value,
-                            path,
-                            py_str(col, dt),
-                        )
-                    )
+                    add(lambda col, v=k: F.pmod(col, F.lit(v)) != 0,
+                        ErrorCode.NUMBER_NOT_MULTIPLE.value, self_path, pstr)
                 else:
-                    # float-tolerance branch, replicated exactly
+                    # exact float-tolerance branch
                     # (reference: json_schema/constraints/numbers.py:97-113);
                     # pmod matches Python %'s sign-of-divisor convention
-                    def mk_mult(k: float, dt: T.DataType) -> Callable:
-                        def chk(col: Column, path: Column) -> Column:
-                            m = F.pmod(col.cast("double"), F.lit(float(k)))
-                            ok = (m < FLOAT_TOLERANCE) | (
-                                F.abs(m - F.lit(float(k))) < FLOAT_TOLERANCE
-                            )
-                            return _maybe(
-                                ~ok, ErrorCode.NUMBER_NOT_MULTIPLE.value, path, py_str(col, dt)
-                            )
+                    def mult_cond(col: Column, v=float(k)) -> Column:
+                        m = F.pmod(col.cast("double"), F.lit(v))
+                        return ~((m < FLOAT_TOLERANCE) | (F.abs(m - F.lit(v)) < FLOAT_TOLERANCE))
 
-                        return chk
-
-                    checks.append(mk_mult(k, dtype))
+                    add(mult_cond, ErrorCode.NUMBER_NOT_MULTIPLE.value, self_path, pstr)
 
         # --- array (reference: json_schema/constraints/arrays.py:52-105) ---
         if jt == "array" and isinstance(dtype, T.ArrayType):
             el_dtype = dtype.elementType
+            sz = lambda col: F.size(col).cast("string")  # noqa: E731
             if rule.min_items is not None:
-                checks.append(
-                    lambda col, path, n=rule.min_items: _maybe(
-                        F.size(col) < n,
-                        ErrorCode.ARRAY_TOO_SHORT.value,
-                        path,
-                        F.size(col).cast("string"),
-                    )
-                )
+                add(lambda col, n=rule.min_items: F.size(col) < n,
+                    ErrorCode.ARRAY_TOO_SHORT.value, self_path, sz)
             if rule.max_items is not None:
-                checks.append(
-                    lambda col, path, n=rule.max_items: _maybe(
-                        F.size(col) > n,
-                        ErrorCode.ARRAY_TOO_LONG.value,
-                        path,
-                        F.size(col).cast("string"),
+                add(lambda col, n=rule.max_items: F.size(col) > n,
+                    ErrorCode.ARRAY_TOO_LONG.value, self_path, sz)
+            if rule.unique_items:
+                # fast path: native distinct-size comparison (equality ==
+                # str()-repr equality for typed data; the 1 vs "1" collision
+                # cannot occur — reference: arrays.py:72-98)
+                def unique_cond(col: Column) -> Column:
+                    return F.size(F.array_distinct(col)) < F.size(col)
+
+                def unique_emit(col: Column, path: Column, el=el_dtype) -> Column:
+                    # slow path (only for flagged rows): locate the first
+                    # duplicate index. The array is bound as a lambda variable
+                    # (single-element transform) so the quadratic probe never
+                    # re-evaluates it — HOF lambdas have no CSE.
+                    def find_dup(rs: Column) -> Column:
+                        idxs = F.filter(
+                            F.transform(rs, lambda x, i: i),
+                            lambda i: F.exists(
+                                F.slice(rs, F.lit(1), i),
+                                lambda y: y.eqNullSafe(F.get(rs, i)),
+                            ),
+                        )
+                        return F.get(idxs, 0)  # null-safe under ANSI mode
+
+                    dup_i = F.get(F.transform(F.array(col), find_dup), 0)
+                    return _maybe(
+                        dup_i.isNotNull(),
+                        ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value,
+                        _index_path(path, dup_i),
+                        py_str(F.get(col, dup_i), el),
+                    )
+
+                checks.append(Check(cond=unique_cond, emit=unique_emit))
+            if rule.items is not None:
+                item = self.bind(rule.items, el_dtype)
+                children.append(
+                    Bound(
+                        viol=lambda col, path, b=item: F.flatten(
+                            F.transform(col, lambda x, i: b.viol(x, _index_path(path, i)))
+                        ),
+                        fires=lambda col, b=item: F.exists(col, lambda x: b.fires(x)),
                     )
                 )
-            if rule.unique_items:
-                # duplicate = same canonical repr, first duplicate index reported
-                # (reference uses Python str() repr equality,
-                # json_schema/constraints/arrays.py:72-98; typed columns make
-                # repr-equality == value-equality, the 1 vs "1" collision cannot occur)
-                def unique_check(col: Column, path: Column, el=el_dtype) -> Column:
-                    rep = lambda x: py_str(x, el)  # noqa: E731
-                    pairs = F.transform(
-                        col, lambda x, i: F.struct(i.alias("i"), rep(x).alias("r"))
-                    )
-                    dups = F.filter(
-                        pairs,
-                        lambda p: F.exists(
-                            F.slice(col, F.lit(1), p["i"]), lambda y: rep(y) == p["r"]
-                        ),
-                    )
-                    first = F.get(dups, 0)  # null-safe under ANSI mode
-                    return _maybe(
-                        first.isNotNull(),
-                        ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value,
-                        _index_path(path, first["i"]),
-                        first["r"],
-                    )
-
-                checks.append(unique_check)
-            if rule.items is not None:
-                item_binder = self.bind(rule.items, el_dtype)
-
-                def items_child(col: Column, path: Column, b=item_binder) -> Column:
-                    nested = F.transform(col, lambda x, i: b(x, _index_path(path, i)))
-                    return F.flatten(nested)
-
-                children.append(items_child)
 
         # --- object on StructType (fixed keys) ---
         if jt == "object" and isinstance(dtype, T.StructType):
-            fields = {f.name: f.dataType for f in dtype.fields}
-            self._bind_object_struct(rule, fields, checks, children)
+            self._bind_object_struct(rule, dtype, checks, children, add)
 
         # --- object on MapType (open keys) ---
         if jt == "object" and isinstance(dtype, T.MapType):
-            self._bind_object_map(rule, dtype, checks, children)
+            self._bind_object_map(rule, dtype, checks, children, add)
 
         # --- logical combinators (reference: json_schema/constraints/logical.py) ---
         if rule.all_of:
-            branch_binders = [self.bind(b, dtype) for b in rule.all_of]
-
-            def all_of_child(col: Column, path: Column, bs=branch_binders) -> Column:
-                # all branches accumulate (reference: logical.py:13-113)
-                return F.concat(*[b(col, path) for b in bs]) if len(bs) > 1 else bs[0](col, path)
-
-            children.append(all_of_child)
+            branches = [self.bind(b, dtype) for b in rule.all_of]
+            for br in branches:  # all branches accumulate (logical.py:13-113)
+                children.append(br)
 
         if rule.any_of:
-            branch_binders = [self.bind(b, dtype) for b in rule.any_of]
+            branches = [self.bind(b, dtype) for b in rule.any_of]
 
-            def any_of_check(col: Column, path: Column, bs=branch_binders, dt=dtype) -> Column:
-                # success is silent; total failure emits one ANY_OF_NO_MATCH
-                # (reference short-circuit: logical.py:187-192)
+            def any_of_cond(col: Column, bs=branches) -> Column:
                 all_fail = None
                 for b in bs:
-                    fail = F.size(b(col, path)) > 0
-                    all_fail = fail if all_fail is None else (all_fail & fail)
-                return _maybe(all_fail, ErrorCode.ANY_OF_NO_MATCH.value, path, F.lit(""))
+                    f = b.fires(col)
+                    all_fail = f if all_fail is None else (all_fail & f)
+                return all_fail
 
-            checks.append(any_of_check)
+            # success is silent; total failure emits one ANY_OF_NO_MATCH
+            # (reference short-circuit: logical.py:187-192)
+            add(any_of_cond, ErrorCode.ANY_OF_NO_MATCH.value, self_path, lambda col: F.lit(""))
 
         if rule.one_of:
-            branch_binders = [self.bind(b, dtype) for b in rule.one_of]
+            branches = [self.bind(b, dtype) for b in rule.one_of]
 
-            def one_of_child(col: Column, path: Column, bs=branch_binders) -> Column:
+            def match_count(col: Column, bs=branches) -> Column:
+                n = None
+                for b in bs:
+                    m = (~b.fires(col)).cast("int")
+                    n = m if n is None else (n + m)
+                return n
+
+            def one_of_viol(col: Column, path: Column, bs=branches) -> Column:
                 # exactly-1 match; >1 emits TWO errors, the second listing the
-                # matching branches (reference: logical.py:319-363)
-                match_flags = [(F.size(b(col, path)) == 0).cast("int") for b in bs]
-                n = match_flags[0]
-                for mf in match_flags[1:]:
-                    n = n + mf
+                # matching branch indices (reference: logical.py:319-363)
+                n = match_count(col)
                 idx_list = F.concat_ws(
                     ",",
                     F.filter(
                         F.array(
-                            *[
-                                F.when(F.size(b(col, path)) == 0, F.lit(str(i)))
-                                for i, b in enumerate(bs)
-                            ]
+                            *[F.when(~b.fires(col), F.lit(str(i))) for i, b in enumerate(bs)]
                         ),
                         lambda x: x.isNotNull(),
                     ),
                 )
-                no_match = _maybe(n == 0, ErrorCode.ONE_OF_NO_MATCH.value, path, F.lit(""))
-                multi_1 = _maybe(n > 1, ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, F.lit(""))
-                multi_2 = _maybe(n > 1, ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, idx_list)
                 return F.filter(
-                    F.array(no_match, multi_1, multi_2).cast(VIOLATION_TYPE),
+                    F.array(
+                        _maybe(n == 0, ErrorCode.ONE_OF_NO_MATCH.value, path, F.lit("")),
+                        _maybe(n > 1, ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, F.lit("")),
+                        _maybe(n > 1, ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, idx_list),
+                    ).cast(VIOLATION_TYPE),
                     lambda x: x.isNotNull(),
                 )
 
-            children.append(one_of_child)
+            children.append(
+                Bound(viol=one_of_viol, fires=lambda col: match_count(col) != 1)
+            )
 
         if rule.not_ is not None:
-            inner_binder = self.bind(rule.not_, dtype)
+            inner = self.bind(rule.not_, dtype)
+            # inner errors swallowed; inner success = violation
+            # (reference: logical.py:377-462)
+            add(
+                lambda col, b=inner: ~b.fires(col),
+                ErrorCode.NOT_SCHEMA_MATCHED.value,
+                self_path,
+                lambda col: F.lit(""),
+            )
 
-            def not_check(col: Column, path: Column, b=inner_binder, dt=dtype) -> Column:
-                # inner errors swallowed; inner success = violation
-                # (reference: logical.py:377-462)
-                return _maybe(
-                    F.size(b(col, path)) == 0,
-                    ErrorCode.NOT_SCHEMA_MATCHED.value,
-                    path,
-                    F.lit(""),
+        # ---- assemble this node ----
+        def viol(col: Column, path: Column) -> Column:
+            arrs: list[Column] = []
+            if checks:
+                arrs.append(
+                    F.filter(
+                        F.array(*[c.emit(col, path) for c in checks]).cast(VIOLATION_TYPE),
+                        lambda x: x.isNotNull(),
+                    )
                 )
-
-            checks.append(not_check)
-
-        def binder(col: Column, path: Column) -> Column:
-            maybes = [c(col, path) for c in checks]
-            kid_arrays = [c(col, path) for c in children]
-            body = _collect(maybes, kid_arrays)
-            # null value = absent: nothing at this node fires
-            # ('required' fires at the parent object instead)
+            arrs.extend(c.viol(col, path) for c in children)
+            body = arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
             return F.when(col.isNull(), _empty()).otherwise(body)
 
-        return binder
+        def fires(col: Column) -> Column:
+            any_c: Optional[Column] = None
+            for c in checks:
+                f = c.cond(col)
+                any_c = f if any_c is None else (any_c | f)
+            for c in children:
+                f = c.fires(col)
+                any_c = f if any_c is None else (any_c | f)
+            if any_c is None:
+                return F.lit(False)
+            return col.isNotNull() & any_c
+
+        return Bound(viol=viol, fires=fires)
 
     # ------------------------------------------------------------------ #
 
     def _bind_object_struct(
         self,
         rule: Rule,
-        fields: dict[str, T.DataType],
-        checks: list,
-        children: list,
+        dtype: T.StructType,
+        checks: list[Check],
+        children: list[Bound],
+        add,
     ) -> None:
         """Object keywords over a fixed StructType. Keys are compile-time
         constants, so patternProperties / additionalProperties / propertyNames
-        partially constant-fold — the reference evaluates all of these per row
-        (json_schema/constraints/objects.py:74-187); here Catalyst sees only
-        the residual runtime checks. Validation order mirrors the reference:
-        min/max properties → required → dependencies → propertyNames →
-        properties → patternProperties → additionalProperties."""
+        partially constant-fold (the reference evaluates all per row,
+        json_schema/constraints/objects.py:74-187). Validation order mirrors
+        the reference: min/max properties → required → dependencies →
+        propertyNames → properties → patternProperties → additionalProperties."""
+        fields = {f.name: f.dataType for f in dtype.fields}
 
         def present_count(col: Column) -> Column:
             cnt = F.lit(0)
@@ -521,94 +520,55 @@ class RuleBinder:
                 cnt = cnt + col.getField(k).isNotNull().cast("int")
             return cnt
 
+        cstr = lambda col: present_count(col).cast("string")  # noqa: E731
         if rule.min_properties is not None:
-            checks.append(
-                lambda col, path, n=rule.min_properties: _maybe(
-                    present_count(col) < n,
-                    ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
-                    path,
-                    present_count(col).cast("string"),
-                )
-            )
+            add(lambda col, n=rule.min_properties: present_count(col) < n,
+                ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
+                lambda col, path: path, cstr)
         if rule.max_properties is not None:
-            checks.append(
-                lambda col, path, n=rule.max_properties: _maybe(
-                    present_count(col) > n,
-                    ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
-                    path,
-                    present_count(col).cast("string"),
-                )
-            )
+            add(lambda col, n=rule.max_properties: present_count(col) > n,
+                ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
+                lambda col, path: path, cstr)
 
         for req in rule.required:
-            if req in fields:
-                checks.append(
-                    lambda col, path, k=req: _maybe(
-                        col.getField(k).isNull(),
-                        ErrorCode.REQUIRED_PROPERTY_MISSING.value,
-                        _child_path(path, k),
-                        F.lit("None"),
-                    )
-                )
-            else:
-                # key not even in the physical schema: always missing
-                checks.append(
-                    lambda col, path, k=req: _maybe(
-                        F.lit(True),
-                        ErrorCode.REQUIRED_PROPERTY_MISSING.value,
-                        _child_path(path, k),
-                        F.lit("None"),
-                    )
-                )
+            cond = (
+                (lambda col, k=req: col.getField(k).isNull())
+                if req in fields
+                else (lambda col: F.lit(True))
+            )
+            add(cond, ErrorCode.REQUIRED_PROPERTY_MISSING.value,
+                lambda col, path, k=req: _child_path(path, k),
+                lambda col: F.lit("None"))
 
         for dep_key, dep_reqs in rule.dependencies.items():
             if dep_key not in fields:
                 continue  # trigger key can never be present
             for needed in dep_reqs:
-                if needed in fields:
-                    checks.append(
-                        lambda col, path, a=dep_key, b=needed: _maybe(
-                            col.getField(a).isNotNull() & col.getField(b).isNull(),
-                            ErrorCode.DEPENDENCY_MISSING.value,
-                            _child_path(path, b),
-                            F.lit("None"),
-                        )
-                    )
-                else:
-                    checks.append(
-                        lambda col, path, a=dep_key, b=needed: _maybe(
-                            col.getField(a).isNotNull(),
-                            ErrorCode.DEPENDENCY_MISSING.value,
-                            _child_path(path, b),
-                            F.lit("None"),
-                        )
-                    )
+                cond = (
+                    (lambda col, a=dep_key, b=needed: col.getField(a).isNotNull()
+                     & col.getField(b).isNull())
+                    if needed in fields
+                    else (lambda col, a=dep_key: col.getField(a).isNotNull())
+                )
+                add(cond, ErrorCode.DEPENDENCY_MISSING.value,
+                    lambda col, path, k=needed: _child_path(path, k),
+                    lambda col: F.lit("None"))
 
         if rule.property_names is not None:
-            # static keys → driver-side check; violations fire when the key is present
+            # static keys → driver-side check; fires when the key is present
             for k in fields:
                 if not _py_string_rule_ok(rule.property_names, k):
-                    checks.append(
-                        lambda col, path, k=k: _maybe(
-                            col.getField(k).isNotNull(),
-                            ErrorCode.PROPERTY_NAME_INVALID.value,
-                            _child_path(path, k),
-                            F.lit(k),
-                        )
-                    )
+                    add(lambda col, k=k: col.getField(k).isNotNull(),
+                        ErrorCode.PROPERTY_NAME_INVALID.value,
+                        lambda col, path, k=k: _child_path(path, k),
+                        lambda col, k=k: F.lit(k))
 
         matched_keys: set[str] = set()
+        sub_rules: list[tuple[str, Rule]] = []
         for k, sub in rule.properties.items():
             matched_keys.add(k)
-            if k not in fields:
-                continue  # never present → nothing to validate
-            sub_binder = self.bind(sub, fields[k])
-
-            def prop_child(col: Column, path: Column, k=k, b=sub_binder) -> Column:
-                return b(col.getField(k), _child_path(path, k))
-
-            children.append(prop_child)
-
+            if k in fields:
+                sub_rules.append((k, sub))
         for pat, sub in rule.pattern_properties.items():
             try:
                 cre = re.compile(pat)
@@ -616,133 +576,133 @@ class RuleBinder:
                 continue
             for k in fields:
                 if cre.search(k):
+                    if k not in matched_keys:
+                        sub_rules.append((k, sub))
                     matched_keys.add(k)
-                    if k in rule.properties:
-                        continue
-                    sub_binder = self.bind(sub, fields[k])
 
-                    def pat_child(col: Column, path: Column, k=k, b=sub_binder) -> Column:
-                        return b(col.getField(k), _child_path(path, k))
-
-                    children.append(pat_child)
+        for k, sub in sub_rules:
+            b = self.bind(sub, fields[k])
+            children.append(
+                Bound(
+                    viol=lambda col, path, k=k, b=b: b.viol(
+                        col.getField(k), _child_path(path, k)
+                    ),
+                    fires=lambda col, k=k, b=b: b.fires(col.getField(k)),
+                )
+            )
 
         ap = rule.additional_properties
         if ap is not None:
             extra_keys = [k for k in fields if k not in matched_keys]
             if ap is False:
                 for k in extra_keys:
-                    checks.append(
-                        lambda col, path, k=k, dt=fields[k]: _maybe(
-                            col.getField(k).isNotNull(),
-                            ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
-                            _child_path(path, k),
-                            py_str(col.getField(k), dt),
-                        )
-                    )
+                    add(lambda col, k=k: col.getField(k).isNotNull(),
+                        ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
+                        lambda col, path, k=k: _child_path(path, k),
+                        lambda col, k=k, dt=fields[k]: py_str(col.getField(k), dt))
             elif isinstance(ap, Rule):
                 for k in extra_keys:
-                    sub_binder = self.bind(ap, fields[k])
-
-                    def ap_child(col: Column, path: Column, k=k, b=sub_binder) -> Column:
-                        return b(col.getField(k), _child_path(path, k))
-
-                    children.append(ap_child)
+                    b = self.bind(ap, fields[k])
+                    children.append(
+                        Bound(
+                            viol=lambda col, path, k=k, b=b: b.viol(
+                                col.getField(k), _child_path(path, k)
+                            ),
+                            fires=lambda col, k=k, b=b: b.fires(col.getField(k)),
+                        )
+                    )
 
     # ------------------------------------------------------------------ #
 
     def _bind_object_map(
-        self, rule: Rule, dtype: T.MapType, checks: list, children: list
+        self,
+        rule: Rule,
+        dtype: T.MapType,
+        checks: list[Check],
+        children: list[Bound],
+        add,
     ) -> None:
         """Object keywords over an open-keyed MapType — the dynamic-document
-        case (reference validates dict keys at runtime,
-        json_schema/constraints/objects.py:74-187). All checks are runtime
-        Column expressions over map_keys/map_entries."""
+        case (reference: json_schema/constraints/objects.py:74-187). All
+        checks are runtime expressions over map_keys/map entries."""
         val_dtype = dtype.valueType
 
+        szstr = lambda col: F.size(col).cast("string")  # noqa: E731
         if rule.min_properties is not None:
-            checks.append(
-                lambda col, path, n=rule.min_properties: _maybe(
-                    F.size(col) < n,
-                    ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
-                    path,
-                    F.size(col).cast("string"),
-                )
-            )
+            add(lambda col, n=rule.min_properties: F.size(col) < n,
+                ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
+                lambda col, path: path, szstr)
         if rule.max_properties is not None:
-            checks.append(
-                lambda col, path, n=rule.max_properties: _maybe(
-                    F.size(col) > n,
-                    ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
-                    path,
-                    F.size(col).cast("string"),
-                )
-            )
+            add(lambda col, n=rule.max_properties: F.size(col) > n,
+                ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
+                lambda col, path: path, szstr)
 
         for req in rule.required:
-            checks.append(
-                lambda col, path, k=req: _maybe(
-                    ~F.map_contains_key(col, F.lit(k)),
-                    ErrorCode.REQUIRED_PROPERTY_MISSING.value,
-                    _child_path(path, k),
-                    F.lit("None"),
-                )
-            )
+            add(lambda col, k=req: ~F.map_contains_key(col, F.lit(k)),
+                ErrorCode.REQUIRED_PROPERTY_MISSING.value,
+                lambda col, path, k=req: _child_path(path, k),
+                lambda col: F.lit("None"))
 
         for dep_key, dep_reqs in rule.dependencies.items():
             for needed in dep_reqs:
-                checks.append(
-                    lambda col, path, a=dep_key, b=needed: _maybe(
-                        F.map_contains_key(col, F.lit(a))
-                        & ~F.map_contains_key(col, F.lit(b)),
-                        ErrorCode.DEPENDENCY_MISSING.value,
-                        _child_path(path, b),
-                        F.lit("None"),
-                    )
-                )
+                add(lambda col, a=dep_key, b=needed: F.map_contains_key(col, F.lit(a))
+                    & ~F.map_contains_key(col, F.lit(b)),
+                    ErrorCode.DEPENDENCY_MISSING.value,
+                    lambda col, path, k=needed: _child_path(path, k),
+                    lambda col: F.lit("None"))
 
         if rule.property_names is not None:
-            name_binder = self.bind(rule.property_names, T.StringType())
-
-            def name_child(col: Column, path: Column, b=name_binder) -> Column:
-                bad = F.filter(F.map_keys(col), lambda k: F.size(b(k, path)) > 0)
-                return F.transform(
-                    bad,
-                    lambda k: _viol(
-                        ErrorCode.PROPERTY_NAME_INVALID.value,
-                        F.concat(path, F.lit("/"), k),
-                        k,
-                    ),
-                ).cast(VIOLATION_TYPE)
-
-            children.append(name_child)
+            nb = self.bind(rule.property_names, T.StringType())
+            children.append(
+                Bound(
+                    viol=lambda col, path, b=nb: F.transform(
+                        F.filter(F.map_keys(col), lambda k: b.fires(k)),
+                        lambda k: _viol(
+                            ErrorCode.PROPERTY_NAME_INVALID.value,
+                            F.concat(path, F.lit("/"), k),
+                            k,
+                        ),
+                    ).cast(VIOLATION_TYPE),
+                    fires=lambda col, b=nb: F.exists(F.map_keys(col), lambda k: b.fires(k)),
+                )
+            )
 
         matched_static = list(rule.properties.keys())
         for k, sub in rule.properties.items():
-            sub_binder = self.bind(sub, val_dtype)
-
-            def prop_child(col: Column, path: Column, k=k, b=sub_binder) -> Column:
-                v = F.try_element_at(col, F.lit(k))
-                return F.when(
-                    F.map_contains_key(col, F.lit(k)), b(v, _child_path(path, k))
-                ).otherwise(_empty())
-
-            children.append(prop_child)
+            b = self.bind(sub, val_dtype)
+            children.append(
+                Bound(
+                    viol=lambda col, path, k=k, b=b: F.when(
+                        F.map_contains_key(col, F.lit(k)),
+                        b.viol(F.try_element_at(col, F.lit(k)), _child_path(path, k)),
+                    ).otherwise(_empty()),
+                    fires=lambda col, k=k, b=b: F.map_contains_key(col, F.lit(k))
+                    & b.fires(F.try_element_at(col, F.lit(k))),
+                )
+            )
 
         pattern_list = list(rule.pattern_properties.keys())
         for pat, sub in rule.pattern_properties.items():
-            sub_binder = self.bind(sub, val_dtype)
+            b = self.bind(sub, val_dtype)
 
-            def patm_child(col: Column, path: Column, p=pat, b=sub_binder) -> Column:
-                ks = F.filter(F.map_keys(col), lambda k: k.rlike(p))
-                nested = F.transform(
-                    ks,
-                    lambda k: b(
-                        F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+            def pat_keys(col: Column, p=pat) -> Column:
+                return F.filter(F.map_keys(col), lambda k: k.rlike(p))
+
+            children.append(
+                Bound(
+                    viol=lambda col, path, b=b, pk=pat_keys: F.flatten(
+                        F.transform(
+                            pk(col),
+                            lambda k: b.viol(
+                                F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                            ),
+                        )
+                    ),
+                    fires=lambda col, b=b, pk=pat_keys: F.exists(
+                        pk(col), lambda k: b.fires(F.try_element_at(col, k))
                     ),
                 )
-                return F.flatten(nested)
-
-            children.append(patm_child)
+            )
 
         ap = rule.additional_properties
         if ap is not None:
@@ -751,36 +711,45 @@ class RuleBinder:
                 ks = F.map_keys(col)
                 if matched_static:
                     ks = F.filter(ks, lambda k: ~k.isin(matched_static))
+
+                def _not_matching(p: str):  # closure factory (see module doc)
+                    return lambda k: ~k.rlike(p)
+
                 for p in pattern_list:
-                    ks = F.filter(ks, lambda k, p=p: ~k.rlike(p))
+                    ks = F.filter(ks, _not_matching(p))
                 return ks
 
             if ap is False:
-
-                def ap_false_child(col: Column, path: Column) -> Column:
-                    return F.transform(
-                        extra_keys(col),
-                        lambda k: _viol(
-                            ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
-                            F.concat(path, F.lit("/"), k),
-                            py_str(F.try_element_at(col, k), val_dtype),
-                        ),
-                    ).cast(VIOLATION_TYPE)
-
-                children.append(ap_false_child)
+                children.append(
+                    Bound(
+                        viol=lambda col, path: F.transform(
+                            extra_keys(col),
+                            lambda k: _viol(
+                                ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
+                                F.concat(path, F.lit("/"), k),
+                                py_str(F.try_element_at(col, k), val_dtype),
+                            ),
+                        ).cast(VIOLATION_TYPE),
+                        fires=lambda col: F.size(extra_keys(col)) > 0,
+                    )
+                )
             elif isinstance(ap, Rule):
-                ap_binder = self.bind(ap, val_dtype)
-
-                def ap_rule_child(col: Column, path: Column, b=ap_binder) -> Column:
-                    nested = F.transform(
-                        extra_keys(col),
-                        lambda k: b(
-                            F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                b = self.bind(ap, val_dtype)
+                children.append(
+                    Bound(
+                        viol=lambda col, path, b=b: F.flatten(
+                            F.transform(
+                                extra_keys(col),
+                                lambda k: b.viol(
+                                    F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                                ),
+                            )
+                        ),
+                        fires=lambda col, b=b: F.exists(
+                            extra_keys(col), lambda k: b.fires(F.try_element_at(col, k))
                         ),
                     )
-                    return F.flatten(nested)
-
-                children.append(ap_rule_child)
+                )
 
 
 # ---------------------------------------------------------------------- #
@@ -792,14 +761,35 @@ def compile_ruleset(schema: Any, struct_type: T.StructType) -> Column:
     """Compile a JSON-Schema-subset ruleset against a DataFrame schema.
 
     Returns a Column producing ``array<struct<rule_id,path,observed>>`` for a
-    row treated as the document (root path = ""). The whole compile happens
+    row treated as the document (root path = ""). Compilation happens
     driver-side ONCE per run — unlike the reference's recompile-per-validate
-    (json_schema/api.py:115-119; compile-once is 5.8x faster even there,
-    see BASELINE.md)."""
+    (json_schema/api.py:115-119).
+
+    Execution shape: the allocation-free boolean `fires` predicate gates the
+    violation-array construction, so clean rows (the overwhelming majority at
+    10^12 scale) never allocate a struct, a path string, or an array. The row
+    is bound as a lambda variable so derived input columns are evaluated once."""
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
-    binder = RuleBinder().bind(rule, struct_type)
+    bound = RuleBinder().bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
-    return binder(root, F.lit(""))
+    return F.get(
+        F.transform(
+            F.array(root),
+            lambda row: F.when(bound.fires(row), bound.viol(row, F.lit(""))).otherwise(
+                _empty()
+            ),
+        ),
+        0,
+    )
+
+
+def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
+    """Just the boolean fast path: does ANY rule fire for the row? Useful for
+    pass/fail filtering and partition verdicts without violation details."""
+    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+    bound = RuleBinder().bind(rule, struct_type)
+    root = F.struct(*[F.col(f.name) for f in struct_type.fields])
+    return F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
 
 
 def with_violations(df: DataFrame, schema: Any, col_name: str = "violations") -> DataFrame:
@@ -809,9 +799,7 @@ def with_violations(df: DataFrame, schema: Any, col_name: str = "violations") ->
     return df.withColumn(col_name, v).withColumn("valid", F.size(F.col(col_name)) == 0)
 
 
-def validate(
-    df: DataFrame, schema: Any, key_col: str = "doc_id"
-) -> DataFrame:
+def validate(df: DataFrame, schema: Any, key_col: str = "doc_id") -> DataFrame:
     """Exploded violation rows ``(doc_id, rule_id, path, observed)`` —
     the engine's golden-output shape (FIXTURES.md §5)."""
     vdf = with_violations(df, schema)

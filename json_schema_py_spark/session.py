@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-bench scan parallelism: the synthetic corpora compress to a
+        # few hundred MB, and the 128MB default yields fewer splits than
+        # cores. 4MB keeps every core fed locally; a real-cluster submit
+        # overrides via SPARK_MAX_PARTITION_BYTES (at 100TB the default is
+        # right — thousands of natural splits)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

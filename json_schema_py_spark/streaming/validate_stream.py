@@ -46,7 +46,8 @@ def windowed_violation_counts(
     the streaming drift monitor. Append-mode safe: windows close once the
     watermark passes."""
     return (
-        violations.withWatermark(ts_col, watermark)
+        violations.withColumn(ts_col, F.col(ts_col).cast("timestamp"))  # NTZ → event-time
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("rule_id"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(

@@ -1,0 +1,114 @@
+"""Engine-level operators: uniqueness, referential, stats, drift, spans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_uniqueness_salted_equals_plain(spark):
+    from json_schema_py_spark.operators.uniqueness import duplicate_keys
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    sd = spans_documents(spark, SF)
+    salted = {(r["doc_id"], r["cnt"]) for r in duplicate_keys(sd, "doc_id", 64).collect()}
+    plain = {(r["doc_id"], r["cnt"]) for r in duplicate_keys(sd, "doc_id", None).collect()}
+    assert salted == plain and len(salted) > 0
+    # every duplicate is a plant-9 copy of row i-2's id
+    for did, cnt in salted:
+        assert cnt == 2 and did.startswith("doc-")
+
+
+def test_uniqueness_violation_rows(spark):
+    from json_schema_py_spark.operators.uniqueness import uniqueness_violations
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    sd = spans_documents(spark, SF)
+    v = uniqueness_violations(sd, "doc_id").collect()
+    assert len(v) > 0 and len(v) % 2 == 0  # both rows of each pair flagged
+    assert all(r["rule_id"] == "UNIQUENESS_VIOLATION" and r["path"] == "/doc_id" for r in v)
+
+
+def test_fk_broadcast_equals_salted_smj(spark):
+    from json_schema_py_spark.operators.referential import spans_fk_violations
+    from json_schema_py_spark.sources.synth import media_dim, spans_documents
+
+    sd = spans_documents(spark, SF)
+    md = media_dim(spark)
+    bc = {tuple(r) for r in spans_fk_violations(sd, md, broadcast_dim=True).collect()}
+    smj = {tuple(r) for r in spans_fk_violations(sd, md, broadcast_dim=False).collect()}
+    assert bc == smj and len(bc) > 0
+    assert all(obs.startswith("m/ghost-") for _, _, _, obs in bc)
+
+
+def test_fk_salted_path(spark):
+    from json_schema_py_spark.operators.referential import fk_violations
+    from json_schema_py_spark.sources.synth import media_dim, spans_documents
+
+    sd = spans_documents(spark, SF).select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    md = media_dim(spark)
+    plain = {tuple(r) for r in fk_violations(sd, "media_ref", md, "media_ref", broadcast_dim=False).collect()}
+    salted = {tuple(r) for r in fk_violations(sd, "media_ref", md, "media_ref", broadcast_dim=False, salt_buckets=8).collect()}
+    assert plain == salted and len(plain) > 0
+
+
+def test_column_stats_fused_single_pass(spark):
+    from json_schema_py_spark.operators.stats import column_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = {r["column"]: r for r in column_stats(docs, ["n_chars", "lang"], exact_distinct=True).collect()}
+    n = docs.count()
+    assert s["n_chars"]["n_rows"] == n and s["n_chars"]["n_null"] == 0
+    assert s["n_chars"]["min"] >= 0 and s["n_chars"]["max"] <= 1000
+    assert s["lang"]["n_distinct"] == 5
+    assert s["n_chars"]["quantiles"] is not None and len(s["n_chars"]["quantiles"]) == 3
+    # single fused pass: exactly one Aggregate over one scan in the plan
+    plan = column_stats(docs, ["n_chars", "lang"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from json_schema_py_spark.operators.drift import histogram, psi
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h = histogram(docs, "n_chars", 0.0, 600.0, 12)
+    assert psi(h, h).collect()[0]["psi"] == 0.0
+    shifted = histogram(
+        docs.withColumn("n_chars", F.col("n_chars") + 150), "n_chars", 0.0, 600.0, 12
+    )
+    assert psi(shifted, h).collect()[0]["psi"] > 0.25
+
+
+def test_psi_drift_violation_row(spark):
+    from json_schema_py_spark.operators.drift import histogram, psi_drift_violation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h = histogram(docs, "n_chars", 0.0, 600.0, 12)
+    shifted = histogram(docs.withColumn("n_chars", F.col("n_chars") + 200), "n_chars", 0.0, 600.0, 12)
+    rows = psi_drift_violation(shifted, h, threshold=0.25, column="n_chars").collect()
+    assert len(rows) == 1 and rows[0]["rule_id"] == "DISTRIBUTION_DRIFT"
+    assert psi_drift_violation(h, h, threshold=0.25).count() == 0
+
+
+def test_span_sequence_preserved_through_validation(spark):
+    """input_hint invariant: validation must not mutate/reorder spans."""
+    from json_schema_py_spark.operators.spans import sequence_mismatches
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, SF)
+    after = with_violations(sd, DOCUMENTS_RULESET).select("doc_id", "spans")
+    assert sequence_mismatches(sd, after).count() == 0
+
+
+def test_sequence_mismatch_detects_reorder(spark):
+    from json_schema_py_spark.operators.spans import sequence_mismatches
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    sd = spans_documents(spark, SF)
+    reordered = sd.withColumn("spans", F.reverse("spans"))
+    # docs with >1 span change; single-span and empty docs don't
+    assert sequence_mismatches(sd, reordered).count() > 0

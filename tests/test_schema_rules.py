@@ -1,0 +1,304 @@
+"""Unit tests for the rule compiler, pinning the reference's exact semantics
+(file:line citations per case; the reference's own tests are the model —
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.schema.compiler import validate, with_violations
+from json_schema_py_spark.schema.model import SchemaCompileError, normalize_schema
+
+
+def _codes(df):
+    return sorted((r["rule_id"], r["path"]) for r in df.collect())
+
+
+# ----------------------------------------------------------- types
+
+
+def test_bool_is_not_number(spark):
+    # reference: json_schema/utils.py:186-191; tests/basic_validation_test.py:91-132
+    df = spark.createDataFrame([(1, True)], "doc_id long, b boolean")
+    out = validate(df, {"properties": {"b": {"type": "number"}}})
+    assert _codes(out) == [("TYPE_ERROR", "/b")]
+
+
+def test_integer_is_number(spark):
+    # reference: json_schema/utils.py:137-139
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    assert validate(df, {"properties": {"n": {"type": "number"}}}).count() == 0
+
+
+def test_float_is_not_integer(spark):
+    # reference: tests/number_validation_test.py:104-109
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, x double")
+    out = validate(df, {"properties": {"x": {"type": "integer"}}})
+    assert _codes(out) == [("TYPE_ERROR", "/x")]
+
+
+def test_null_is_absent_skips_checks(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, s string")
+    assert validate(df, {"properties": {"s": {"minLength": 3}}}).count() == 0
+
+
+# ----------------------------------------------------------- strings
+
+
+def test_string_bounds_and_pattern_search_semantics(spark):
+    # pattern uses re.search (substring), NOT fullmatch
+    # reference: json_schema/constraints/strings.py:93
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "x" * 9), (3, "has cat inside"), (4, "no feline")],
+        "doc_id long, s string",
+    )
+    schema = {"properties": {"s": {"minLength": 3, "maxLength": 8, "pattern": "cat"}}}
+    out = {(r["doc_id"], r["rule_id"]) for r in validate(df, schema).collect()}
+    assert out == {
+        (1, "STRING_TOO_SHORT"),
+        (1, "PATTERN_MISMATCH"),
+        (2, "STRING_TOO_LONG"),
+        (2, "PATTERN_MISMATCH"),
+        (3, "STRING_TOO_LONG"),  # "has cat inside" is 14 chars but matches /cat/
+        (4, "STRING_TOO_LONG"),
+        (4, "PATTERN_MISMATCH"),
+    }
+
+
+def test_invalid_regex_is_schema_invalid_lazily(spark):
+    # reference: json_schema/constraints/strings.py:81-91
+    df = spark.createDataFrame([(1, "x")], "doc_id long, s string")
+    out = validate(df, {"properties": {"s": {"pattern": "[bad"}}})
+    assert _codes(out) == [("SCHEMA_INVALID", "/s")]
+
+
+# ----------------------------------------------------------- numbers
+
+
+def test_draft04_exclusive_bounds(spark):
+    # reference: json_schema/constraints/numbers.py:59-94, draft-04 booleans
+    df = spark.createDataFrame([(1, 5.0), (2, 10.0)], "doc_id long, x double")
+    incl = {"properties": {"x": {"minimum": 5, "maximum": 10}}}
+    excl = {
+        "properties": {
+            "x": {
+                "minimum": 5,
+                "maximum": 10,
+                "exclusiveMinimum": True,
+                "exclusiveMaximum": True,
+            }
+        }
+    }
+    assert validate(df, incl).count() == 0
+    out = {(r["doc_id"], r["rule_id"]) for r in validate(df, excl).collect()}
+    assert out == {(1, "NUMBER_TOO_SMALL"), (2, "NUMBER_TOO_LARGE")}
+
+
+def test_multiple_of_float_tolerance(spark):
+    # 0.3 passes multipleOf 0.1 (within 1e-10), 0.37 fails
+    # reference: json_schema/constraints/numbers.py:97-113;
+    # tests/number_validation_test.py:111-132
+    df = spark.createDataFrame([(1, 0.3), (2, 0.37), (3, -0.2)], "doc_id long, x double")
+    out = validate(df, {"properties": {"x": {"multipleOf": 0.1}}})
+    assert {(r["doc_id"], r["rule_id"]) for r in out.collect()} == {
+        (2, "NUMBER_NOT_MULTIPLE")
+    }
+
+
+def test_multiple_of_integer(spark):
+    df = spark.createDataFrame([(1, 9), (2, 10), (3, -6)], "doc_id long, n long")
+    out = validate(df, {"properties": {"n": {"multipleOf": 3}}})
+    assert {(r["doc_id"], r["rule_id"]) for r in out.collect()} == {
+        (2, "NUMBER_NOT_MULTIPLE")
+    }
+
+
+# ----------------------------------------------------------- enum / const
+
+
+def test_enum_and_const(spark):
+    # Python == semantics: 1 == 1.0 (reference: json_schema/constraints/enums.py:36-39)
+    df = spark.createDataFrame([(1, "red", 1.0), (2, "pink", 2.5)], "doc_id long, c string, n double")
+    schema = {
+        "properties": {"c": {"enum": ["red", "green"]}, "n": {"enum": [1, 2]}}
+    }
+    out = {(r["doc_id"], r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    assert out == {(2, "ENUM_MISMATCH", "/c"), (2, "ENUM_MISMATCH", "/n")}
+    cdf = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, s string")
+    cout = validate(cdf, {"properties": {"s": {"const": "a"}}})
+    assert _codes(cout) == [("CONST_MISMATCH", "/s")]
+
+
+# ----------------------------------------------------------- arrays
+
+
+def test_array_bounds_items_unique(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, [1, 2, 3, 4]), (3, [1, -2]), (4, [7, 8, 7])],
+        "doc_id long, a array<long>",
+    )
+    schema = {
+        "properties": {
+            "a": {
+                "minItems": 1,
+                "maxItems": 3,
+                "uniqueItems": True,
+                "items": {"minimum": 0},
+            }
+        }
+    }
+    out = {(r["doc_id"], r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    assert out == {
+        (1, "ARRAY_TOO_SHORT", "/a"),
+        (2, "ARRAY_TOO_LONG", "/a"),
+        (3, "NUMBER_TOO_SMALL", "/a/1"),
+        (4, "ARRAY_ITEMS_NOT_UNIQUE", "/a/2"),
+    }
+
+
+def test_nested_arrays(spark):
+    df = spark.createDataFrame([(1, [["ok"], ["", "x"]])], "doc_id long, a array<array<string>>")
+    schema = {"properties": {"a": {"items": {"items": {"minLength": 1}}}}}
+    assert _codes(validate(df, schema)) == [("STRING_TOO_SHORT", "/a/1/0")]
+
+
+# ----------------------------------------------------------- objects
+
+
+def test_required_and_dependencies(spark):
+    # reference: json_schema/constraints/objects.py:94-116
+    df = spark.createDataFrame(
+        [(1, "x", None, None), (2, None, "cc", None)],
+        "doc_id long, name string, card string, addr string",
+    )
+    schema = {
+        "required": ["name"],
+        "dependencies": {"card": ["addr"]},
+        "properties": {"name": {"type": "string"}},
+    }
+    out = {(r["doc_id"], r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    assert out == {
+        (2, "REQUIRED_PROPERTY_MISSING", "/name"),
+        (2, "DEPENDENCY_MISSING", "/addr"),
+    }
+
+
+def test_min_max_properties_struct(spark):
+    df = spark.createDataFrame(
+        [(1, ("a", None, None)), (2, ("a", "b", "c"))],
+        "doc_id long, o struct<x:string,y:string,z:string>",
+    )
+    schema = {"properties": {"o": {"minProperties": 2, "maxProperties": 2}}}
+    out = {(r["doc_id"], r["rule_id"]) for r in validate(df, schema).collect()}
+    assert out == {(1, "OBJECT_TOO_FEW_PROPERTIES"), (2, "OBJECT_TOO_MANY_PROPERTIES")}
+
+
+def test_map_object_keywords(spark):
+    df = spark.createDataFrame(
+        [(1, {"alpha": 5, "Bad": -1})], "doc_id long, m map<string,long>"
+    )
+    schema = {
+        "properties": {
+            "m": {
+                "propertyNames": {"pattern": "^[a-z]+$"},
+                "patternProperties": {"^a": {"minimum": 10}},
+                "additionalProperties": {"minimum": 0},
+            }
+        }
+    }
+    out = {(r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    assert out == {
+        ("PROPERTY_NAME_INVALID", "/m/Bad"),
+        ("NUMBER_TOO_SMALL", "/m/alpha"),
+        ("NUMBER_TOO_SMALL", "/m/Bad"),
+    }
+
+
+def test_additional_properties_false_struct(spark):
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, known string, extra string")
+    schema = {
+        "properties": {"known": {"type": "string"}, "doc_id": {}},
+        "additionalProperties": False,
+    }
+    assert _codes(validate(df, schema)) == [("ADDITIONAL_PROPERTY_NOT_ALLOWED", "/extra")]
+
+
+# ----------------------------------------------------------- logical
+
+
+def test_any_of_silent_success_and_failure(spark):
+    # reference: json_schema/constraints/logical.py:187-192
+    df = spark.createDataFrame([(1, 5), (2, 200)], "doc_id long, n long")
+    schema = {"properties": {"n": {"anyOf": [{"maximum": 10}, {"minimum": 100, "maximum": 150}]}}}
+    out = {(r["doc_id"], r["rule_id"]) for r in validate(df, schema).collect()}
+    assert out == {(2, "ANY_OF_NO_MATCH")}
+
+
+def test_one_of_counting(spark):
+    # integer matches both number and integer branches → TWO errors
+    # reference: json_schema/constraints/logical.py:319-363;
+    # tests/logical_validation_test.py:182-207
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    multi = validate(df, {"properties": {"n": {"oneOf": [{"type": "number"}, {"type": "integer"}]}}})
+    rows = multi.collect()
+    assert len(rows) == 2 and all(r["rule_id"] == "ONE_OF_MULTIPLE_MATCHES" for r in rows)
+    none = validate(df, {"properties": {"n": {"oneOf": [{"minimum": 10}, {"maximum": 0}]}}})
+    assert _codes(none) == [("ONE_OF_NO_MATCH", "/n")]
+
+
+def test_all_of_accumulates(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, s string")
+    schema = {"properties": {"s": {"allOf": [{"maxLength": 5}, {"pattern": "^z"}]}}}
+    out = {r["rule_id"] for r in validate(df, schema).collect()}
+    assert out == {"STRING_TOO_LONG", "PATTERN_MISMATCH"}
+
+
+def test_not(spark):
+    # reference: json_schema/constraints/logical.py:377-462
+    df = spark.createDataFrame([(1, "abc"), (2, "zz")], "doc_id long, s string")
+    out = validate(df, {"properties": {"s": {"not": {"pattern": "^a"}}}})
+    assert {(r["doc_id"], r["rule_id"]) for r in out.collect()} == {(1, "NOT_SCHEMA_MATCHED")}
+
+
+# ----------------------------------------------------------- $ref
+
+
+def test_local_ref_and_circular(spark):
+    # reference: json_schema/schema_compiler.py:553-607 (+ circular cache
+    # 563-567, tests/reference_validation_test.py:144-178)
+    df = spark.createDataFrame([(1, ("bob", -3))], "doc_id long, p struct<name:string,age:long>")
+    schema = {
+        "definitions": {"person": {"properties": {"age": {"minimum": 0}}}},
+        "properties": {"p": {"$ref": "#/definitions/person"}},
+    }
+    assert _codes(validate(df, schema)) == [("NUMBER_TOO_SMALL", "/p/age")]
+    circular = {
+        "definitions": {"node": {"properties": {"next": {"$ref": "#/definitions/node"}}}},
+        "properties": {"p": {"$ref": "#/definitions/node"}},
+    }
+    assert validate(df, circular).count() == 0  # terminates, bounded unroll
+
+
+def test_external_ref_rejected():
+    with pytest.raises(SchemaCompileError):
+        normalize_schema({"$ref": "http://x/y.json"})
+
+
+# ----------------------------------------------------------- inferred types
+
+
+def test_inferred_type_is_enforced(spark):
+    # schema without 'type' but with minLength infers string AND ENFORCES it
+    # (reference deviation: json_schema/schema_compiler.py:786-846)
+    df = spark.createDataFrame([(1, 7)], "doc_id long, v long")
+    out = validate(df, {"properties": {"v": {"minLength": 3}}})
+    assert _codes(out) == [("TYPE_ERROR", "/v")]
+
+
+def test_with_violations_valid_flag(spark):
+    df = spark.createDataFrame([(1, "ok"), (2, "")], "doc_id long, s string")
+    out = with_violations(df, {"properties": {"s": {"minLength": 1}}})
+    flags = {r["doc_id"]: r["valid"] for r in out.collect()}
+    assert flags == {1: True, 2: False}
+    assert out.schema["violations"].dataType.simpleString().startswith("array<struct")

@@ -1,0 +1,80 @@
+"""Structured-Streaming validation: file source, AvailableNow micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Events-like stream data with planted violations, written as parquet."""
+    src = str(tmp_path / "in")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.write.parquet(src)
+    return src
+
+
+EVENTS_RULESET = {
+    "type": "object",
+    "properties": {
+        "event_type": {"enum": ["click", "view", "purchase", "signup"]},
+        "value": {"type": "number", "minimum": 1.0},
+    },
+}
+
+
+def test_stream_validation_matches_batch(spark, stream_dir, tmp_path):
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.streaming.validate_stream import validate_stream
+
+    batch_df = spark.read.parquet(stream_dir)
+    expected = {
+        (r["doc_id"], r["rule_id"], r["path"])
+        for r in validate(batch_df, EVENTS_RULESET, key_col="event_id").collect()
+    }
+    assert expected, "ruleset should flag some events ('error' type, value<1)"
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    out = validate_stream(stream, EVENTS_RULESET, key_col="event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["rule_id"], r["path"])
+        for r in spark.sql("select * from viol_stream").collect()
+    }
+    assert got == expected
+
+
+def test_windowed_violation_counts(spark, stream_dir, tmp_path):
+    from json_schema_py_spark.streaming.validate_stream import (
+        validate_stream,
+        windowed_violation_counts,
+    )
+
+    batch_df = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    v = validate_stream(stream, EVENTS_RULESET, key_col="event_id")
+    w = windowed_violation_counts(v, ts_col="ts", window="1 hour", watermark="2 hours")
+    q = (
+        w.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    # append mode only emits closed windows; at least the early ones close
+    assert all(r["cnt"] > 0 for r in rows)
