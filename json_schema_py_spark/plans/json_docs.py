@@ -1,0 +1,117 @@
+"""Dynamic JSON-document validation: columns of raw JSON strings.
+
+Two paths, chosen by how exact you need to be (SURVEY.md §7 "hard parts"):
+
+* ``validate_json_typed`` — the FAST path. A Spark schema is derived from the
+  rule tree, ``from_json`` parses into typed columns, and the Column engine
+  validates — whole-stage codegen end to end. Caveats (documented, inherent
+  to typed parsing): unknown keys are dropped (additionalProperties on
+  closed structs is checked statically, open objects need the exact path),
+  presence and null collapse, and regex runs under the Java dialect.
+
+* ``validate_json_exact`` — the PARITY path. Arrow-batched ``mapInPandas``
+  runs the driver-side evaluator per document: Python ``re``, ``str()``
+  rendering, presence≠null, open-object additionalProperties — bit-for-bit
+  the reference's verdicts. Python is entered once per BATCH (10k rows), not
+  per row; this is the engine's only Python executor path besides the
+  multimodal decode stub, reserved exactly for the semantics Column
+  expressions cannot express (BASELINE.json input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_py_spark.schema.compiler import VIOLATION_TYPE, compile_ruleset
+from json_schema_py_spark.schema.model import Rule, normalize_schema
+
+
+def rule_to_spark_type(rule: Rule) -> T.DataType:
+    """Derive a Spark DataType from a rule tree (for from_json parsing)."""
+    t = rule.types[0] if rule.types else None
+    if t == "object" or rule.properties:
+        if rule.properties:
+            return T.StructType(
+                [T.StructField(k, rule_to_spark_type(sub)) for k, sub in rule.properties.items()]
+            )
+        ap = rule.additional_properties
+        val_t = rule_to_spark_type(ap) if isinstance(ap, Rule) else T.StringType()
+        return T.MapType(T.StringType(), val_t)
+    if t == "array" or rule.items is not None:
+        el = rule_to_spark_type(rule.items) if rule.items is not None else T.StringType()
+        return T.ArrayType(el)
+    if t == "integer":
+        return T.LongType()
+    if t == "number":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "null":
+        return T.NullType()
+    return T.StringType()
+
+
+def validate_json_typed(
+    df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rule_id, path, observed) via from_json + the Column engine."""
+    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+    spark_t = rule_to_spark_type(rule)
+    if not isinstance(spark_t, T.StructType):
+        raise ValueError("typed JSON validation needs an object-rooted schema")
+    parsed = df.select(
+        F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
+    )
+    flat = parsed.select("doc_id", "d.*")
+    v = compile_ruleset(rule, T.StructType([f for f in spark_t.fields]))
+    return (
+        flat.withColumn("violations", v)
+        .select("doc_id", F.explode("violations").alias("v"))
+        .select(
+            "doc_id",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.path").alias("path"),
+            F.col("v.observed").alias("observed"),
+        )
+    )
+
+
+def validate_json_exact(
+    df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rule_id, path, observed) with reference-exact semantics via
+    Arrow-batched mapInPandas over the pure-Python evaluator."""
+    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[key_col].dataType),
+            T.StructField("rule_id", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("observed", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker so the closure pickles only the rule tree
+        from json_schema_py_spark.schema.pyeval import evaluate
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for key, raw in zip(pdf[key_col], pdf[json_col]):
+                try:
+                    doc = json.loads(raw) if raw is not None else None
+                except (TypeError, ValueError):
+                    rows.append((key, "SCHEMA_INVALID", "", str(raw)[:256]))
+                    continue
+                for code, path, obs in evaluate(rule, doc, ""):
+                    rows.append((key, code, path, obs))
+            yield pd.DataFrame(rows, columns=["doc_id", "rule_id", "path", "observed"])
+
+    return df.select(key_col, json_col).mapInPandas(batches, out_schema)

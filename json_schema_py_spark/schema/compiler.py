@@ -555,13 +555,17 @@ class RuleBinder:
                     lambda col: F.lit("None"))
 
         if rule.property_names is not None:
-            # static keys → driver-side check; fires when the key is present
+            # static keys → fold driver-side via pyeval; the reference emits
+            # the UNDERLYING code (e.g. PATTERN_MISMATCH) at the key's path,
+            # not a dedicated propertyNames code
+            from json_schema_py_spark.schema.pyeval import string_rule_violations
+
             for k in fields:
-                if not _py_string_rule_ok(rule.property_names, k):
+                for code, _vp, obs in string_rule_violations(rule.property_names, k):
                     add(lambda col, k=k: col.getField(k).isNotNull(),
-                        ErrorCode.PROPERTY_NAME_INVALID.value,
+                        code,
                         lambda col, path, k=k: _child_path(path, k),
-                        lambda col, k=k: F.lit(k))
+                        lambda col, o=obs: F.lit(o))
 
         matched_keys: set[str] = set()
         sub_rules: list[tuple[str, Rule]] = []
@@ -652,17 +656,17 @@ class RuleBinder:
                     lambda col: F.lit("None"))
 
         if rule.property_names is not None:
+            # runtime keys: validate each key AS a string value; underlying
+            # codes surface at the key's path (reference behavior)
             nb = self.bind(rule.property_names, T.StringType())
             children.append(
                 Bound(
-                    viol=lambda col, path, b=nb: F.transform(
-                        F.filter(F.map_keys(col), lambda k: b.fires(k)),
-                        lambda k: _viol(
-                            ErrorCode.PROPERTY_NAME_INVALID.value,
-                            F.concat(path, F.lit("/"), k),
-                            k,
-                        ),
-                    ).cast(VIOLATION_TYPE),
+                    viol=lambda col, path, b=nb: F.flatten(
+                        F.transform(
+                            F.filter(F.map_keys(col), lambda k: b.fires(k)),
+                            lambda k: b.viol(k, F.concat(path, F.lit("/"), k)),
+                        )
+                    ),
                     fires=lambda col, b=nb: F.exists(F.map_keys(col), lambda k: b.fires(k)),
                 )
             )

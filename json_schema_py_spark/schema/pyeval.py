@@ -1,0 +1,274 @@
+"""Pure-Python evaluator over the SAME normalized Rule model the Spark binder
+compiles — reference-exact semantics for dynamic JSON documents.
+
+Three consumers:
+
+* ``api.JsonValidator`` — drop-in single-document validation (the reference's
+  public API surface, json_schema/api.py:82-119) with no Spark session;
+* the **exact-parity pandas path** (``plans.json_docs.validate_json_exact``):
+  Arrow-batched mapInPandas for JSON-string columns where Column expressions
+  can't reproduce CPython semantics exactly — Python ``re`` dialect,
+  ``str()`` value rendering, presence-vs-null distinction, open-object
+  additionalProperties (SURVEY.md §7 "hard parts");
+* static propertyNames folding in the Column binder (struct keys are
+  compile-time constants).
+
+Semantics reproduced from the reference (NOT ported code — re-derived from
+SURVEY.md's semantic analysis; file:line cites mark the behavior pinned):
+
+* bool is not a number/integer; integer is a number; float is never integer
+  (json_schema/utils.py:137-139,186-191)
+* presence ≠ null: JSON ``{"a": null}`` HAS key a with null value
+  (type-checked as 'null'); required checks key membership
+  (json_schema/constraints/objects.py:94-103)
+* re.search pattern semantics; invalid regex → SCHEMA_INVALID lazily
+  (json_schema/constraints/strings.py:81-93)
+* multipleOf float tolerance 1e-10 (json_schema/constraints/numbers.py:97-113)
+* uniqueItems duplicates by str() repr (json_schema/constraints/arrays.py:72-98)
+* enum/const by Python == (1 == True, 1 == 1.0)
+  (json_schema/constraints/enums.py:36-39)
+* anyOf silent success / single ANY_OF_NO_MATCH; oneOf double error on
+  multiple match; not swallows inner errors (json_schema/constraints/logical.py)
+
+One DELIBERATE deviation, shared with the Column engine: a logical operator
+at a schema node does NOT suppress sibling keyword checks (the reference's
+Validator dispatches logical-op roots to their own validate only,
+json_schema/validator.py:46-48). Both engine paths validate everything, so
+they agree with each other; differential tests vs the reference avoid
+mixed nodes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Optional
+
+from json_schema_py_spark.errors import ErrorCode
+from json_schema_py_spark.schema.model import Rule
+
+Violation = tuple[str, str, str]  # (rule_id, path, observed)
+
+_FLOAT_TOLERANCE = 1e-10
+
+
+def py_type_of(v: Any) -> str:
+    """reference: json_schema/utils.py:174-201 (bool checked before int)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return "string"
+
+
+def _type_ok(t: str, allowed: list[str]) -> bool:
+    return t in allowed or (t == "integer" and "number" in allowed)
+
+
+def py_repr(v: Any) -> str:
+    """Python str() rendering for observed values, composites via compact
+    JSON to match the Column engine's to_json (null members omitted never
+    arise: JSON input carries explicit nulls, rendered as null)."""
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _escape(k: str) -> str:
+    return str(k).replace("~", "~0").replace("/", "~1")
+
+
+def evaluate(rule: Rule, value: Any, path: str = "") -> list[Violation]:
+    """All violations of ``rule`` for ``value`` (present, possibly-null)."""
+    out: list[Violation] = []
+    t = py_type_of(value)
+
+    # type gate (reference: json_schema/constraints/base.py:284-289)
+    if rule.types is not None and not _type_ok(t, rule.types):
+        return [(ErrorCode.TYPE_ERROR.value, path, py_repr(value))]
+
+    # enum / const
+    if rule.enum is not None and not _py_eq_in(value, rule.enum):
+        out.append((ErrorCode.ENUM_MISMATCH.value, path, py_repr(value)))
+    if rule.const_set and not _py_eq(value, rule.const):
+        out.append((ErrorCode.CONST_MISMATCH.value, path, py_repr(value)))
+
+    if t == "string":
+        out.extend(_eval_string(rule, value, path))
+    if t in ("integer", "number") and not isinstance(value, bool):
+        out.extend(_eval_number(rule, value, path))
+    if t == "array":
+        out.extend(_eval_array(rule, value, path))
+    if t == "object":
+        out.extend(_eval_object(rule, value, path))
+
+    # logical combinators
+    for branch in rule.all_of:
+        out.extend(evaluate(branch, value, path))
+    if rule.any_of:
+        if all(evaluate(b, value, path) for b in rule.any_of):
+            out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
+    if rule.one_of:
+        matches = [i for i, b in enumerate(rule.one_of) if not evaluate(b, value, path)]
+        if len(matches) == 0:
+            out.append((ErrorCode.ONE_OF_NO_MATCH.value, path, ""))
+        elif len(matches) > 1:
+            out.append((ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, ""))
+            out.append(
+                (
+                    ErrorCode.ONE_OF_MULTIPLE_MATCHES.value,
+                    path,
+                    ",".join(str(i) for i in matches),
+                )
+            )
+    if rule.not_ is not None and not evaluate(rule.not_, value, path):
+        out.append((ErrorCode.NOT_SCHEMA_MATCHED.value, path, ""))
+
+    return out
+
+
+def _py_eq(a: Any, b: Any) -> bool:
+    """Python == with the reference's cross-type quirks kept (1 == True)."""
+    return a == b
+
+
+def _py_eq_in(v: Any, values: list[Any]) -> bool:
+    return any(_py_eq(v, e) for e in values)
+
+
+def _eval_string(rule: Rule, v: str, path: str) -> list[Violation]:
+    out: list[Violation] = []
+    if rule.min_length is not None and len(v) < rule.min_length:
+        out.append((ErrorCode.STRING_TOO_SHORT.value, path, v))
+    if rule.max_length is not None and len(v) > rule.max_length:
+        out.append((ErrorCode.STRING_TOO_LONG.value, path, v))
+    if rule.pattern is not None:
+        try:
+            if not re.search(rule.pattern, v):
+                out.append((ErrorCode.PATTERN_MISMATCH.value, path, v))
+        except re.error:
+            out.append((ErrorCode.SCHEMA_INVALID.value, path, v))
+    return out
+
+
+def _eval_number(rule: Rule, v: float, path: str) -> list[Violation]:
+    out: list[Violation] = []
+    if rule.minimum is not None:
+        bad = v <= rule.minimum if rule.exclusive_minimum else v < rule.minimum
+        if bad:
+            out.append((ErrorCode.NUMBER_TOO_SMALL.value, path, py_repr(v)))
+    if rule.maximum is not None:
+        bad = v >= rule.maximum if rule.exclusive_maximum else v > rule.maximum
+        if bad:
+            out.append((ErrorCode.NUMBER_TOO_LARGE.value, path, py_repr(v)))
+    if rule.multiple_of is not None:
+        k = rule.multiple_of
+        if isinstance(v, int) and isinstance(k, int) and not isinstance(v, bool):
+            ok = v % k == 0
+        else:
+            m = float(v) % float(k)  # Python %: sign of divisor, like pmod
+            ok = m < _FLOAT_TOLERANCE or abs(m - float(k)) < _FLOAT_TOLERANCE
+        if not ok:
+            out.append((ErrorCode.NUMBER_NOT_MULTIPLE.value, path, py_repr(v)))
+    return out
+
+
+def _eval_array(rule: Rule, v: list, path: str) -> list[Violation]:
+    out: list[Violation] = []
+    if rule.min_items is not None and len(v) < rule.min_items:
+        out.append((ErrorCode.ARRAY_TOO_SHORT.value, path, str(len(v))))
+    if rule.max_items is not None and len(v) > rule.max_items:
+        out.append((ErrorCode.ARRAY_TOO_LONG.value, path, str(len(v))))
+    if rule.unique_items:
+        seen: dict[str, int] = {}
+        for i, item in enumerate(v):
+            r = str(item)  # str()-repr equality (reference: arrays.py:72-98)
+            if r in seen:
+                out.append(
+                    (ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value, f"{path}/{i}", py_repr(item))
+                )
+                break
+            seen[r] = i
+    if rule.items is not None:
+        for i, item in enumerate(v):
+            out.extend(evaluate(rule.items, item, f"{path}/{i}"))
+    return out
+
+
+def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
+    out: list[Violation] = []
+    n = len(v)
+    # reference order: min/max properties → required → dependencies →
+    # propertyNames → properties → patternProperties → additionalProperties
+    # (json_schema/constraints/objects.py:74-187)
+    if rule.min_properties is not None and n < rule.min_properties:
+        out.append((ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value, path, str(n)))
+    if rule.max_properties is not None and n > rule.max_properties:
+        out.append((ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value, path, str(n)))
+    for req in rule.required:
+        if req not in v:
+            out.append(
+                (ErrorCode.REQUIRED_PROPERTY_MISSING.value, f"{path}/{_escape(req)}", "None")
+            )
+    for dep_key, needed in rule.dependencies.items():
+        if dep_key in v:
+            for b in needed:
+                if b not in v:
+                    out.append(
+                        (ErrorCode.DEPENDENCY_MISSING.value, f"{path}/{_escape(b)}", "None")
+                    )
+    if rule.property_names is not None:
+        for k in v:
+            out.extend(evaluate(rule.property_names, k, f"{path}/{_escape(k)}"))
+    matched: set = set()
+    for k, sub in rule.properties.items():
+        matched.add(k)
+        if k in v:
+            out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}"))
+    for pat, sub in rule.pattern_properties.items():
+        try:
+            cre = re.compile(pat)
+        except re.error:
+            continue
+        for k in v:
+            if cre.search(str(k)):
+                matched.add(k)
+                if k not in rule.properties:
+                    out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}"))
+    ap = rule.additional_properties
+    if ap is not None:
+        extras = [k for k in v if k not in matched]
+        if ap is False:
+            for k in extras:
+                out.append(
+                    (
+                        ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
+                        f"{path}/{_escape(k)}",
+                        py_repr(v[k]),
+                    )
+                )
+        elif isinstance(ap, Rule):
+            for k in extras:
+                out.extend(evaluate(ap, v[k], f"{path}/{_escape(k)}"))
+    return out
+
+
+def string_rule_violations(rule: Rule, key: str) -> list[Violation]:
+    """Violations of a propertyNames rule for one static key (used by the
+    Column binder; reference emits the UNDERLYING code at the key's path —
+    e.g. PATTERN_MISMATCH, not a dedicated code)."""
+    return evaluate(rule, key, "")

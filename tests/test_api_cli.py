@@ -1,0 +1,106 @@
+"""Reference-compatible API surface + CLI (reference entry points 1 & 2)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+from json_schema_py_spark.api import JsonValidator
+from json_schema_py_spark.errors import ErrorCode
+
+SCENARIOS = [
+    # (doc, schema) — drawn from the reference test files' semantics (SURVEY §5)
+    ({"age": True}, {"properties": {"age": {"type": "number"}}}),  # bool≠number
+    ({"age": 5}, {"properties": {"age": {"type": "number"}}}),  # int⊆number
+    ({"x": 2.0}, {"properties": {"x": {"type": "integer"}}}),  # float∉integer
+    ({"s": "ab"}, {"properties": {"s": {"minLength": 3, "maxLength": 5}}}),
+    ({"s": "abcdefg"}, {"properties": {"s": {"maxLength": 5}}}),
+    ({"s": "xcatx"}, {"properties": {"s": {"pattern": "cat"}}}),  # re.search
+    ({"n": 5}, {"properties": {"n": {"minimum": 5, "exclusiveMinimum": True}}}),
+    ({"n": 0.3}, {"properties": {"n": {"multipleOf": 0.1}}}),  # tolerance pass
+    ({"n": 0.37}, {"properties": {"n": {"multipleOf": 0.1}}}),  # tolerance fail
+    ({"c": "pink"}, {"properties": {"c": {"enum": ["red", "green"]}}}),
+    ({"c": 1}, {"properties": {"c": {"enum": [True]}}}),  # 1 == True quirk
+    ({"a": [1, 2, 1]}, {"properties": {"a": {"uniqueItems": True}}}),
+    ({"a": []}, {"properties": {"a": {"minItems": 1}}}),
+    ({"a": [1, -2]}, {"properties": {"a": {"items": {"minimum": 0}}}}),
+    ({}, {"required": ["name"]}),
+    ({"card": "x"}, {"dependencies": {"card": ["addr"]}, "properties": {"card": {}}}),
+    ({"a": 1, "b": 2, "c": 3}, {"maxProperties": 2}),
+    ({"x": 1}, {"properties": {"y": {}}, "additionalProperties": False}),
+    ({"v": None}, {"properties": {"v": {"type": "null"}}}),
+    ({"v": None}, {"properties": {"v": {"type": "string"}}}),  # null IS a type err
+    ({"v": 7}, {"properties": {"v": {"minLength": 1}}}),  # inferred-type enforced
+    ({"p": {"age": -1}}, {
+        "definitions": {"person": {"properties": {"age": {"minimum": 0}}}},
+        "properties": {"p": {"$ref": "#/definitions/person"}}}),
+    ({"n": 5}, {"properties": {"n": {"anyOf": [{"minimum": 10}, {"maximum": 3}]}}}),
+    ({"n": 5}, {"properties": {"n": {"oneOf": [{"type": "number"}, {"type": "integer"}]}}}),
+    ({"n": 5}, {"properties": {"n": {"not": {"minimum": 0}}}}),
+]
+
+
+@pytest.mark.parametrize("doc,schema", SCENARIOS)
+def test_jsonvalidator_matches_reference_codes(doc, schema):
+    """Same (code, path) multiset as the reference validator (adapted for its
+    container-path conventions; codes-only where the reference truncates
+    $ref'd paths — ours are a refinement)."""
+    from json_schema.api import JsonValidator as RefValidator
+
+    from tests.refadapt import adapt, schema_has_ref
+
+    ours = JsonValidator().validate(doc, schema)
+    ref = RefValidator().validate(doc, schema)
+
+    if schema_has_ref(schema):
+        assert sorted(e.code.name for e in ref.errors) == sorted(
+            e.code.value for e in ours.errors
+        )
+    else:
+        assert sorted(adapt(e) for e in ref.errors) == sorted(
+            (e.code.value, e.path) for e in ours.errors
+        )
+    assert ours.valid == ref.valid
+
+
+def test_validator_caches_compiled_schema():
+    v = JsonValidator()
+    schema = {"properties": {"x": {"minimum": 0}}}
+    v.validate({"x": 1}, schema)
+    assert len(v._cache) == 1
+    v.validate({"x": 2}, schema)
+    assert len(v._cache) == 1
+
+
+def test_external_ref_is_resolution_error():
+    r = JsonValidator().validate({}, {"$ref": "http://x/y"})
+    assert not r.valid
+    assert r.errors[0].code == ErrorCode.REFERENCE_RESOLUTION_FAILED
+
+
+# ----------------------------------------------------------------- CLI
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_cli_exit_codes(tmp_path):
+    from json_schema_py_spark.cli import main
+
+    schema = _write(tmp_path, "schema.json", {"required": ["id"], "properties": {"id": {"type": "integer"}}})
+    ok = _write(tmp_path, "ok.json", {"id": 3})
+    bad = _write(tmp_path, "bad.json", {"id": "x"})
+    assert main([ok, schema]) == 0
+    assert main([bad, schema]) == 1
+    assert main([bad, schema, "--verbose"]) == 1
+    assert main([str(tmp_path / "missing.json"), schema]) == 1
+    malformed = tmp_path / "m.json"
+    malformed.write_text("{not json")
+    assert main([str(malformed), schema]) == 1

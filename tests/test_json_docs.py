@@ -1,0 +1,99 @@
+"""Dynamic JSON-string validation: typed fast path vs exact pandas path vs
+the Column engine vs the reference."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/reference")
+
+SCHEMA = {
+    "type": "object",
+    "required": ["id", "tags"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 1},
+        "name": {"type": "string", "minLength": 2},
+        "tags": {"type": "array", "minItems": 1, "items": {"enum": ["a", "b", "c"]}},
+        "score": {"type": "number", "maximum": 10},
+    },
+}
+
+DOCS = [
+    (1, '{"id": 3, "name": "ok", "tags": ["a"], "score": 5.5}'),
+    (2, '{"id": 0, "name": "x", "tags": ["z"], "score": 11}'),
+    (3, '{"name": "noid", "tags": []}'),
+    (4, '{"id": 7, "tags": ["b", "c"]}'),
+    (5, "not json at all"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, payload string")
+
+
+def test_exact_path_matches_reference(spark):
+    from json_schema.api import JsonValidator as RefValidator
+    from json_schema_py_spark.plans.json_docs import validate_json_exact
+
+    import json as _json
+    import re as _re
+
+    out = validate_json_exact(_df(spark), "payload", SCHEMA, key_col="doc_id")
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["rule_id"], r["path"]))
+
+    ref = RefValidator()
+    for key, raw in DOCS:
+        try:
+            doc = _json.loads(raw)
+        except ValueError:
+            assert got[key] == {("SCHEMA_INVALID", "")}
+            continue
+        expected = set()
+        for e in ref.validate(doc, SCHEMA).errors:
+            code = e.code.name
+            if code == "REQUIRED_PROPERTY_MISSING":
+                m = _re.search(r"'([^']+)'", e.message)
+                expected.add((code, f"{e.path}/{m.group(1)}"))
+            else:
+                expected.add((code, e.path))
+        assert got.get(key, set()) == expected, f"doc {key}"
+
+
+def test_typed_path_matches_exact_on_well_typed_docs(spark):
+    """Where typed parsing is lossless (well-typed values, no unknown keys),
+    the fast path and the parity path agree."""
+    from json_schema_py_spark.plans.json_docs import (
+        validate_json_exact,
+        validate_json_typed,
+    )
+
+    df = _df(spark).where(F.col("doc_id") != 5)  # drop the non-JSON row
+    typed = {
+        (r["doc_id"], r["rule_id"], r["path"])
+        for r in validate_json_typed(df, "payload", SCHEMA).collect()
+    }
+    exact = {
+        (r["doc_id"], r["rule_id"], r["path"])
+        for r in validate_json_exact(df, "payload", SCHEMA).collect()
+    }
+    assert typed == exact
+
+
+def test_rule_to_spark_type():
+    from pyspark.sql import types as T
+
+    from json_schema_py_spark.plans.json_docs import rule_to_spark_type
+    from json_schema_py_spark.schema.model import normalize_schema
+
+    t = rule_to_spark_type(normalize_schema(SCHEMA))
+    assert isinstance(t, T.StructType)
+    assert isinstance(t["tags"].dataType, T.ArrayType)
+    assert isinstance(t["id"].dataType, T.LongType)
+    m = rule_to_spark_type(
+        normalize_schema({"type": "object", "additionalProperties": {"type": "integer"}})
+    )
+    assert isinstance(m, T.MapType) and isinstance(m.valueType, T.LongType)

@@ -208,8 +208,10 @@ def test_map_object_keywords(spark):
         }
     }
     out = {(r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    # propertyNames surfaces the UNDERLYING code at the key's path (reference
+    # behavior: a bad key fails its pattern check, no dedicated code)
     assert out == {
-        ("PROPERTY_NAME_INVALID", "/m/Bad"),
+        ("PATTERN_MISMATCH", "/m/Bad"),
         ("NUMBER_TOO_SMALL", "/m/alpha"),
         ("NUMBER_TOO_SMALL", "/m/Bad"),
     }
