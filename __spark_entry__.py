@@ -272,6 +272,54 @@ def q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(ev, PROPS_RULESET, key_col="event_id")
 
 
+# props payload validated through the dynamic-JSON paths: same ruleset shape,
+# rooted at the raw JSON string — three independent engine paths (typed
+# Column, exact pandas, pre-parsed map) must all match the same oracle
+_PROPS_JSON_RULESET = {
+    "type": "object",
+    "minProperties": 1,
+    "propertyNames": {"pattern": "^[a-z]+$"},
+    "additionalProperties": {"type": "integer", "minimum": 50},
+}
+
+
+def q_validate_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.plans.json_docs import validate_json_typed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return validate_json_typed(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
+
+
+def q_validate_json_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.plans.json_docs import validate_json_exact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return validate_json_exact(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return session_stats(ev, gap_minutes=30.0).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("t_start", fmt).alias("t_start"),
+        F.date_format("t_end", fmt).alias("t_end"),
+    )
+
+
+def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_py_spark.operators.sessions import out_of_order_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return out_of_order_events(ev).select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+    )
+
+
 # ------------------------------------------------- non-SQL-expressible ops
 
 
@@ -337,6 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_validate_lineitem": q_validate_lineitem,
         "q_validate_events_props": q_validate_events_props,
+        "q_validate_json_typed": q_validate_json_typed,
+        "q_validate_json_exact": q_validate_json_exact,
+        "q_sessionize": q_sessionize,
+        "q_out_of_order": q_out_of_order,
         # rows-only (approximate / plan-dependent / python-batched):
         "q_sketches": q_sketches,
         "q_ann_lsh": q_ann_lsh,
@@ -601,5 +653,38 @@ FROM li WHERE l_returnflag NOT IN ('A', 'N')
 SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/props/k' AS path,
   (props::JSON ->> 'k') AS observed
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        "q_validate_json_typed": """
+SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
+  (props::JSON ->> 'k') AS observed
+FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        "q_validate_json_exact": """
+SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
+  (props::JSON ->> 'k') AS observed
+FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        "q_sessionize": """
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s2 AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end
+FROM s2 GROUP BY user_id, session_seq
+""",
+        "q_out_of_order": """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts FROM (
+  SELECT event_id, user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+  FROM events
+) WHERE p IS NOT NULL AND ts < p
 """,
     }

@@ -61,24 +61,40 @@ def validate_json_typed(
     df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, rule_id, path, observed) via from_json + the Column engine."""
+    from json_schema_py_spark.schema.compiler import RuleBinder, _empty
+
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     spark_t = rule_to_spark_type(rule)
-    if not isinstance(spark_t, T.StructType):
-        raise ValueError("typed JSON validation needs an object-rooted schema")
-    parsed = df.select(
-        F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
-    )
-    flat = parsed.select("doc_id", "d.*")
-    v = compile_ruleset(rule, T.StructType([f for f in spark_t.fields]))
-    return (
-        flat.withColumn("violations", v)
-        .select("doc_id", F.explode("violations").alias("v"))
-        .select(
-            "doc_id",
-            F.col("v.rule_id").alias("rule_id"),
-            F.col("v.path").alias("path"),
-            F.col("v.observed").alias("observed"),
+    if isinstance(spark_t, T.StructType):
+        parsed = df.select(
+            F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
         )
+        flat = parsed.select("doc_id", "d.*")
+        v = compile_ruleset(rule, T.StructType([f for f in spark_t.fields]))
+        exploded = flat.withColumn("violations", v)
+    else:
+        # map/array/scalar-rooted schema: bind the rule to the parsed column
+        # directly; root path stays "" so pointers match the exact path
+        bound = RuleBinder().bind(rule, spark_t)
+        parsed = df.select(
+            F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
+        )
+        doc = F.col("d")
+        v = F.get(
+            F.transform(
+                F.array(doc),
+                lambda row: F.when(bound.fires(row), bound.viol(row, F.lit(""))).otherwise(
+                    _empty()
+                ),
+            ),
+            0,
+        )
+        exploded = parsed.withColumn("violations", v)
+    return exploded.select("doc_id", F.explode("violations").alias("v")).select(
+        "doc_id",
+        F.col("v.rule_id").alias("rule_id"),
+        F.col("v.path").alias("path"),
+        F.col("v.observed").alias("observed"),
     )
 
 

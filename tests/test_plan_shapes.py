@@ -1,0 +1,126 @@
+"""Physical-plan audits: the 100 TB requirements as assertions.
+
+Every claim the scale story makes is checked against the optimizer output:
+shuffle-free validation, broadcast FK joins, column pruning reaching the
+scan, partial aggregation on cross-row checks, one fused aggregate for
+stats. If a refactor regresses a plan shape, these fail before any slow
+benchmark would notice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_validation_is_shuffle_free(spark):
+    """Per-row validation = pure projection: no Exchange anywhere."""
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    plan = _physical(with_violations(spans_documents(spark, SF), DOCUMENTS_RULESET))
+    assert "Exchange" not in plan
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_validation_single_scan(spark):
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    plan = _optimized(with_violations(spans_documents(spark, SF), DOCUMENTS_RULESET))
+    assert plan.count("Relation") == 1
+
+
+def test_fk_join_broadcasts_small_dim(spark):
+    from json_schema_py_spark.operators.referential import spans_fk_violations
+    from json_schema_py_spark.sources.synth import media_dim, spans_documents
+
+    plan = _physical(
+        spans_fk_violations(spans_documents(spark, SF), media_dim(spark))
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_stats_is_one_fused_aggregate_over_one_scan(spark):
+    from json_schema_py_spark.operators.stats import column_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = column_stats(docs, ["n_chars", "lang", "source"])
+    opt = _optimized(df)
+    assert opt.count("Aggregate") == 1
+    assert opt.count("Relation") == 1
+    phys = _physical(df)
+    # partial (map-side) + final aggregate over a single scan
+    assert phys.count("HashAggregate") + phys.count("SortAggregate") >= 2
+
+
+def test_stats_prunes_unwatched_columns(spark):
+    from json_schema_py_spark.operators.stats import column_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phys = _physical(column_stats(docs, ["n_chars"]))
+    scan_line = [l for l in phys.splitlines() if "parquet" in l.lower()]
+    assert scan_line and "text" not in scan_line[0], "text column must be pruned"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 10)
+    phys = _physical(docs.select("doc_id"))
+    assert "PushedFilters: [" in phys and "LessThan(doc_id" in phys
+
+
+def test_uniqueness_two_stage_partial_agg(spark):
+    from json_schema_py_spark.operators.uniqueness import duplicate_keys
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    plan = _physical(duplicate_keys(spans_documents(spark, SF), "doc_id"))
+    # salted first stage + final per-key stage; each hash-aggregates partially
+    assert plan.count("HashAggregate") >= 3
+    assert "Exchange" in plan
+
+
+def test_fused_pass_stays_whole_stage_codegen(spark):
+    """The headline pass must not fall out of codegen except for the HOF
+    subtrees (which are interpreted by design)."""
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    ann = with_violations(spans_documents(spark, SF), DOCUMENTS_RULESET)
+    agg = ann.agg(F.count(F.lit(1)), F.sum(F.size("violations")))
+    agg.collect()  # AQE only materializes the final plan after execution
+    plan = _physical(agg)
+    # '*(n)' marks WholeStageCodegen stages in the compact formatting; the
+    # aggregates must be codegen'd (the HOF projection is interpreted by design)
+    assert "*(" in plan and "*(2) HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_no_python_udfs_in_hot_paths(spark):
+    """Validation, stats, dedup, similarity: zero Python in the plan
+    (BatchEvalPython / ArrowEvalPython / mapInPandas only appear in the two
+    designated pandas paths: exact-JSON and multimodal decode)."""
+    from json_schema_py_spark.operators.dedup import minhash_lsh_pairs, simhash
+    from json_schema_py_spark.operators.similarity import brute_force_topk
+    from json_schema_py_spark.operators.stats import column_stats
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plans = [
+        _physical(with_violations(spans_documents(spark, SF), DOCUMENTS_RULESET)),
+        _physical(column_stats(docs, ["n_chars"])),
+        _physical(minhash_lsh_pairs(docs)),
+        _physical(simhash(docs)),
+        _physical(brute_force_topk(emb, emb.limit(5))),
+    ]
+    for p in plans:
+        assert "EvalPython" not in p and "InPandas" not in p
