@@ -142,6 +142,28 @@ def run_benchmarks(cpus: int) -> dict:
     brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()
     queries["ann_bruteforce"] = round(time.time() - t0, 3)
 
+    from json_schema_py_spark.operators.dedup import simhash
+    from json_schema_py_spark.operators.sessions import session_stats
+    from json_schema_py_spark.plans.json_docs import validate_json_exact
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = time.time()
+    session_stats(ev).count()
+    queries["sessionize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    validate_json_exact(
+        ev,
+        "props",
+        {"type": "object", "additionalProperties": {"type": "integer", "minimum": 50}},
+        key_col="event_id",
+    ).count()
+    queries["json_exact_pandas"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    simhash(docs).agg(F.max("simhash")).collect()  # count() would prune the column
+    queries["simhash"] = round(time.time() - t0, 3)
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",
