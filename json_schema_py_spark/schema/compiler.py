@@ -597,6 +597,7 @@ class RuleBinder:
 
         ap = rule.additional_properties
         if ap is not None:
+            matched_keys |= set(rule.exempt_properties)  # sibling-branch escape hatch
             extra_keys = [k for k in fields if k not in matched_keys]
             if ap is False:
                 for k in extra_keys:
@@ -713,8 +714,9 @@ class RuleBinder:
 
             def extra_keys(col: Column) -> Column:
                 ks = F.map_keys(col)
-                if matched_static:
-                    ks = F.filter(ks, lambda k: ~k.isin(matched_static))
+                skip = list(set(matched_static) | set(rule.exempt_properties))
+                if skip:
+                    ks = F.filter(ks, lambda k: ~k.isin(skip))
 
                 def _not_matching(p: str):  # closure factory (see module doc)
                     return lambda k: ~k.rlike(p)

@@ -86,6 +86,12 @@ class Rule:
     any_of: list["Rule"] = field(default_factory=list)
     one_of: list["Rule"] = field(default_factory=list)
     not_: Optional["Rule"] = None
+    # additionalProperties escape hatch: keys declared by SIBLING logical
+    # branches (or $ref'd schemas, which normalize inlines) are exempt from
+    # this node's additionalProperties check (reference: parent_properties,
+    # json_schema/constraints/logical.py:47-55,147-156,267-276 and
+    # references.py:112-119)
+    exempt_properties: frozenset = frozenset()
 
     def has_type(self, t: str) -> bool:
         return self.types is not None and t in self.types
@@ -220,11 +226,41 @@ def normalize_schema(schema: Any, root: Optional[dict] = None, depth: int = 0) -
         if isinstance(deps, list):  # property-dependency form only (reference parity)
             r.dependencies[k] = list(deps)
 
-    # logical
-    r.all_of = [normalize_schema(s, root, depth + 1) for s in schema.get("allOf", [])]
-    r.any_of = [normalize_schema(s, root, depth + 1) for s in schema.get("anyOf", [])]
-    r.one_of = [normalize_schema(s, root, depth + 1) for s in schema.get("oneOf", [])]
+    # logical — with the parent_properties escape hatch: every branch's
+    # additionalProperties check exempts keys declared by ANY branch
+    for kw, target in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
+        raw_branches = schema.get(kw, [])
+        if not raw_branches:
+            continue
+        exempt = frozenset(
+            k for b in raw_branches for k in _collect_property_names(b, root)
+        )
+        branches = []
+        for b in raw_branches:
+            br = normalize_schema(b, root, depth + 1)
+            br.exempt_properties = br.exempt_properties | exempt
+            branches.append(br)
+        setattr(r, target, branches)
     if "not" in schema:
         r.not_ = normalize_schema(schema["not"], root, depth + 1)
 
     return r
+
+
+def _collect_property_names(schema: Any, root: dict, depth: int = 0) -> set[str]:
+    """Property names declared by a schema, looking through $refs and up to
+    two levels of nested logical operators (reference:
+    json_schema/constraints/references.py:31-74)."""
+    if depth > 2 or not isinstance(schema, dict):
+        return set()
+    if "$ref" in schema:
+        try:
+            target = _resolve_pointer(root, schema["$ref"])
+        except SchemaCompileError:
+            return set()
+        return _collect_property_names(target, root, depth)
+    names = set(schema.get("properties", {}).keys())
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for b in schema.get(kw, []):
+            names |= _collect_property_names(b, root, depth + 1)
+    return names

@@ -251,6 +251,7 @@ def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
                     out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}"))
     ap = rule.additional_properties
     if ap is not None:
+        matched |= set(rule.exempt_properties)  # sibling-branch escape hatch
         extras = [k for k in v if k not in matched]
         if ap is False:
             for k in extras:
