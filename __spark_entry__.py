@@ -176,12 +176,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from json_schema_py_spark.functions.text import bpe_ish_token_count, token_count
+    from json_schema_py_spark.functions.text import (
+        bpe_ish_token_count,
+        regex_token_count,
+        rolling_fingerprint,
+        token_count,
+    )
 
     return _docs(spark, sf_dir).select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        regex_token_count(F.col("text")).alias("regex_tokens"),
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
     )
 
 
@@ -562,9 +569,14 @@ SELECT doc_id,
 FROM base
 """,
         "q_token_counts": f"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_tokens,
-  list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT)) AS bpe_tokens
+  list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT)) AS bpe_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+    (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
 FROM base
 """,
         "q_exact_dedup": """

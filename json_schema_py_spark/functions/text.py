@@ -46,6 +46,32 @@ def bpe_ish_token_count(col: Column) -> Column:
     )
 
 
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-flavored REGEX tokenization: letter runs, digit runs, single
+    punctuation — the classic pre-tokenizer split (DuckDB mirror:
+    regexp_extract_all with the identical pattern)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+ROLLING_B = 131
+ROLLING_M = 2_147_483_647  # 2^31 - 1; keeps acc*B inside 64-bit under ANSI
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over token hashes — order-sensitive document
+    fingerprint: h = fold(tokens, (acc*B + h64(tok) mod M) mod M). Equal in
+    DuckDB via list_reduce with the same constants."""
+    th = F.transform(tokens(col), lambda t: stable_hash64(t))
+    return F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLLING_B + F.pmod(h, F.lit(ROLLING_M))) % ROLLING_M,
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text: lowercase, strip non-[a-z0-9 ], collapse whitespace."""
     c = F.lower(col)
