@@ -348,6 +348,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate → rows-only; full-probe ≡ brute force
+    asserted in tests)."""
+    from json_schema_py_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5, n_cells=16, n_probe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: payload attach + Arrow-batched feature extract."""
     from json_schema_py_spark.operators.multimodal import (
@@ -399,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (approximate / plan-dependent / python-batched):
         "q_sketches": q_sketches,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
         "q_partition_verdicts": q_partition_verdicts,
     }

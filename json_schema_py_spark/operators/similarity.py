@@ -153,6 +153,75 @@ def ann_lsh_topk(
     )
 
 
+def _centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic centroids: the first n_cells vectors by id. A production
+    deployment trains k-means (one cached sample + a few Arrow-batched
+    Lloyd's iterations); deterministic picks keep the sandbox reproducible
+    and exercise the identical physical plan."""
+    rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score,cell>> of cosine-to-centroid, for argmax/top-p."""
+    entries = []
+    for i, c in enumerate(cents):
+        plane = F.array(*[F.lit(x) for x in c])
+        entries.append(
+            F.struct(cosine(vec, plane).alias("score"), F.lit(i).alias("cell"))
+        )
+    return F.array(*entries)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are inverted-file-bucketed by nearest
+    centroid; each query probes its ``n_probe`` closest cells. The corpus
+    side is assigned ONCE (at scale: a bucketBy/partitionBy column on the
+    lake); only probed cells are scanned per query. Recall knob = n_probe
+    (n_probe == n_cells degenerates to brute force)."""
+    cents = _centroids(corpus, n_cells, id_col, vec_col)
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias("cell"),
+    )
+    probed = F.slice(
+        F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))), 1, n_probe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_score"), round_to).alias("score"),
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

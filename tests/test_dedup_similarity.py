@@ -123,3 +123,29 @@ def test_real_decode_is_explicit_stub(spark):
 
     with pytest.raises(NotImplementedError):
         extract_media_features(attach_fake_payloads(media_dim(spark)), decode="real")
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF ANN: recall@5 beats single-bucket LSH at comparable probe cost;
+    full-probe degenerates to brute force exactly."""
+    from json_schema_py_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall > 0.4, f"recall={recall}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=8).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    assert full == bf  # probing every cell == brute force
