@@ -104,3 +104,26 @@ def test_cli_exit_codes(tmp_path):
     malformed = tmp_path / "m.json"
     malformed.write_text("{not json")
     assert main([str(malformed), schema]) == 1
+
+
+def test_cli_table_mode(tmp_path, spark):
+    """Parquet + --json-col path through main() (the subprocess variant was
+    driven manually; this pins the wiring)."""
+    import json as _json
+
+    from json_schema_py_spark.cli import main
+
+    schema_p = tmp_path / "s.json"
+    schema_p.write_text(_json.dumps({
+        "type": "object", "additionalProperties": {"type": "integer", "minimum": 50}}))
+    data = spark.createDataFrame(
+        [(1, '{"k": 99}'), (2, '{"k": 7}')], "event_id long, props string"
+    )
+    src = str(tmp_path / "events.parquet")
+    data.write.parquet(src)
+    out = str(tmp_path / "viol")
+    rc = main([src, str(schema_p), "--json-col", "props", "--key-col", "event_id",
+               "--exact", "--out", out])
+    assert rc == 1
+    viol = spark.read.parquet(out).collect()
+    assert len(viol) == 1 and viol[0]["doc_id"] == 2  # key dtype preserved (long)
