@@ -65,8 +65,27 @@ def _viol(code: str, path: Column, observed: Column) -> Column:
     return F.struct(
         F.lit(code).alias("rule_id"),
         path.alias("path"),
-        observed.cast("string").alias("observed"),
+        # null observed renders as Python str(None) for parity
+        F.coalesce(observed.cast("string"), F.lit("None")).alias("observed"),
     )
+
+
+def _null_value_viols(rule: Rule) -> list:
+    """Violations a NULL JSON value produces under ``rule`` — a pure
+    compile-time constant (no data dependency), folded via the Python
+    evaluator. Used where null means a PRESENT null VALUE (array elements,
+    map values) rather than an absent struct field."""
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    return evaluate(rule, None, "")
+
+
+def _const_viols(vs: list, path: Column) -> Column:
+    if not vs:
+        return _empty()
+    return F.array(
+        *[_viol(c, F.concat(path, F.lit(p)), F.lit(o)) for c, p, o in vs]
+    ).cast(VIOLATION_TYPE)
 
 
 def _maybe(cond: Column, code: str, path: Column, observed: Column) -> Column:
@@ -384,12 +403,26 @@ class RuleBinder:
                 checks.append(Check(cond=unique_cond, emit=unique_emit))
             if rule.items is not None:
                 item = self.bind(rule.items, el_dtype)
+                # a NULL array element is a present null VALUE (arrays are
+                # positional — no absence), validated per JSON semantics;
+                # its violations are compile-time constants
+                nv = _null_value_viols(rule.items)
                 children.append(
                     Bound(
-                        viol=lambda col, path, b=item: F.flatten(
-                            F.transform(col, lambda x, i: b.viol(x, _index_path(path, i)))
+                        viol=lambda col, path, b=item, nv=nv: F.flatten(
+                            F.transform(
+                                col,
+                                lambda x, i: F.when(
+                                    x.isNull(), _const_viols(nv, _index_path(path, i))
+                                ).otherwise(b.viol(x, _index_path(path, i))),
+                            )
                         ),
-                        fires=lambda col, b=item: F.exists(col, lambda x: b.fires(x)),
+                        fires=lambda col, b=item, nv=nv: F.exists(
+                            col,
+                            lambda x: F.when(x.isNull(), F.lit(bool(nv))).otherwise(
+                                b.fires(x)
+                            ),
+                        ),
                     )
                 )
 
@@ -675,36 +708,57 @@ class RuleBinder:
         matched_static = list(rule.properties.keys())
         for k, sub in rule.properties.items():
             b = self.bind(sub, val_dtype)
+            # map values follow JSON semantics: a null VALUE under a present
+            # key is validated as null (compile-time folded), unlike absent
+            # struct fields
+            nv = _null_value_viols(sub)
             children.append(
                 Bound(
-                    viol=lambda col, path, k=k, b=b: F.when(
+                    viol=lambda col, path, k=k, b=b, nv=nv: F.when(
+                        F.map_contains_key(col, F.lit(k))
+                        & F.try_element_at(col, F.lit(k)).isNull(),
+                        _const_viols(nv, _child_path(path, k)),
+                    )
+                    .when(
                         F.map_contains_key(col, F.lit(k)),
                         b.viol(F.try_element_at(col, F.lit(k)), _child_path(path, k)),
-                    ).otherwise(_empty()),
-                    fires=lambda col, k=k, b=b: F.map_contains_key(col, F.lit(k))
-                    & b.fires(F.try_element_at(col, F.lit(k))),
+                    )
+                    .otherwise(_empty()),
+                    fires=lambda col, k=k, b=b, nv=nv: F.map_contains_key(col, F.lit(k))
+                    & F.when(
+                        F.try_element_at(col, F.lit(k)).isNull(), F.lit(bool(nv))
+                    ).otherwise(b.fires(F.try_element_at(col, F.lit(k)))),
                 )
             )
 
         pattern_list = list(rule.pattern_properties.keys())
         for pat, sub in rule.pattern_properties.items():
             b = self.bind(sub, val_dtype)
+            nv = _null_value_viols(sub)
 
             def pat_keys(col: Column, p=pat) -> Column:
                 return F.filter(F.map_keys(col), lambda k: k.rlike(p))
 
             children.append(
                 Bound(
-                    viol=lambda col, path, b=b, pk=pat_keys: F.flatten(
+                    viol=lambda col, path, b=b, pk=pat_keys, nv=nv: F.flatten(
                         F.transform(
                             pk(col),
-                            lambda k: b.viol(
-                                F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                            lambda k: F.when(
+                                F.try_element_at(col, k).isNull(),
+                                _const_viols(nv, F.concat(path, F.lit("/"), k)),
+                            ).otherwise(
+                                b.viol(
+                                    F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                                )
                             ),
                         )
                     ),
-                    fires=lambda col, b=b, pk=pat_keys: F.exists(
-                        pk(col), lambda k: b.fires(F.try_element_at(col, k))
+                    fires=lambda col, b=b, pk=pat_keys, nv=nv: F.exists(
+                        pk(col),
+                        lambda k: F.when(
+                            F.try_element_at(col, k).isNull(), F.lit(bool(nv))
+                        ).otherwise(b.fires(F.try_element_at(col, k))),
                     ),
                 )
             )
@@ -741,18 +795,28 @@ class RuleBinder:
                 )
             elif isinstance(ap, Rule):
                 b = self.bind(ap, val_dtype)
+                nv = _null_value_viols(ap)
                 children.append(
                     Bound(
-                        viol=lambda col, path, b=b: F.flatten(
+                        viol=lambda col, path, b=b, nv=nv: F.flatten(
                             F.transform(
                                 extra_keys(col),
-                                lambda k: b.viol(
-                                    F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                                lambda k: F.when(
+                                    F.try_element_at(col, k).isNull(),
+                                    _const_viols(nv, F.concat(path, F.lit("/"), k)),
+                                ).otherwise(
+                                    b.viol(
+                                        F.try_element_at(col, k),
+                                        F.concat(path, F.lit("/"), k),
+                                    )
                                 ),
                             )
                         ),
-                        fires=lambda col, b=b: F.exists(
-                            extra_keys(col), lambda k: b.fires(F.try_element_at(col, k))
+                        fires=lambda col, b=b, nv=nv: F.exists(
+                            extra_keys(col),
+                            lambda k: F.when(
+                                F.try_element_at(col, k).isNull(), F.lit(bool(nv))
+                            ).otherwise(b.fires(F.try_element_at(col, k))),
                         ),
                     )
                 )

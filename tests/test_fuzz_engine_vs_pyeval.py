@@ -1,0 +1,113 @@
+"""Property-based agreement between the two engine paths: the Column-
+expression binder (production) and pyeval (parity evaluator) compile the
+SAME Rule model — on typed rows they must emit identical violation sets.
+
+Null convention bridged explicitly: the Column engine treats NULL as ABSENT
+(Parquet structs always carry every field); pyeval sees parsed JSON where
+absence is key-missing. Rows are converted to dicts with null fields
+dropped, exactly like the reference differential (test_differential.py)."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import types as T
+
+ROW_TYPE = T.StructType(
+    [
+        T.StructField("rk", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("o", T.StructType([
+            T.StructField("p", T.StringType()),
+            T.StructField("q", T.LongType()),
+        ])),
+    ]
+)
+
+rows = st.tuples(
+    st.one_of(st.none(), st.text(alphabet="abx ", max_size=6)),
+    st.one_of(st.none(), st.integers(-20, 20)),
+    st.one_of(st.none(), st.floats(-20, 20, allow_nan=False)),
+    st.one_of(st.none(), st.booleans()),
+    st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-5, 5)), max_size=4)),
+    st.one_of(
+        st.none(),
+        st.tuples(st.one_of(st.none(), st.sampled_from(["u", "vv"])),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+    ),
+)
+
+prop_schemas = st.fixed_dictionaries(
+    {},
+    optional={
+        "s": st.sampled_from([
+            {"type": "string", "minLength": 2},
+            {"maxLength": 3},
+            {"pattern": "^a"},
+            {"enum": ["ab", "x"]},
+        ]),
+        "n": st.sampled_from([
+            {"type": "integer", "minimum": 0},
+            {"maximum": 5, "exclusiveMaximum": True},
+            {"multipleOf": 3},
+            {"const": 7},
+        ]),
+        "x": st.sampled_from([
+            {"type": "number", "minimum": -1.5},
+            {"multipleOf": 0.5},
+            {"type": "integer"},  # float is never integer
+        ]),
+        "b": st.sampled_from([{"type": "boolean"}, {"type": "number"}]),
+        "arr": st.sampled_from([
+            {"minItems": 1, "maxItems": 3},
+            {"uniqueItems": True, "type": "array"},
+            {"items": {"minimum": 0}},
+        ]),
+        "o": st.sampled_from([
+            {"required": ["p"]},
+            {"properties": {"q": {"minimum": 0}}, "minProperties": 1},
+            {"anyOf": [{"required": ["p"]}, {"required": ["q"]}]},
+        ]),
+    },
+)
+schemas = st.builds(
+    lambda props, req: {"type": "object", "properties": props, "required": req},
+    prop_schemas,
+    st.lists(st.sampled_from(["s", "n", "b"]), max_size=2, unique=True),
+)
+
+
+def _row_to_doc(row_dict: dict) -> dict:
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items() if x is not None}
+        return v
+
+    return {k: clean(v) for k, v in row_dict.items() if v is not None}
+
+
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "25")), deadline=None)
+@given(batch=st.lists(rows, min_size=1, max_size=12), schema=schemas)
+def test_column_engine_matches_pyeval(spark, batch, schema):
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.schema.model import normalize_schema
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    data = [(i, *r) for i, r in enumerate(batch)]
+    df = spark.createDataFrame(data, ROW_TYPE)
+    eng: dict[int, set] = {}
+    for r in validate(df, schema, key_col="rk").collect():
+        eng.setdefault(r["doc_id"], set()).add((r["rule_id"], r["path"]))
+
+    rule = normalize_schema(schema)
+    for i, row in enumerate(df.collect()):
+        doc = _row_to_doc(row.asDict(recursive=True))
+        doc.pop("rk", None)
+        expected = {(c, p) for c, p, _ in evaluate(rule, doc, "")}
+        got = eng.get(i, set())
+        assert got == expected, f"row={doc} schema={schema}"
