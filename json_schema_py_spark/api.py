@@ -78,5 +78,20 @@ class JsonValidator:
 
 
 def _message(code: str, path: str, observed: str) -> str:
+    """Reference-style phrasing for the codes whose messages downstream
+    tooling greps (the same formats tests/refadapt.py parses)."""
+    leaf = path.rsplit("/", 1)[-1] if "/" in path else path
+    if code == "REQUIRED_PROPERTY_MISSING":
+        return f"Missing required property '{leaf}'"
+    if code == "DEPENDENCY_MISSING":
+        return f"Missing property '{leaf}', which another property depends on"
+    if code == "ADDITIONAL_PROPERTY_NOT_ALLOWED":
+        return f"Additional property '{leaf}' not allowed"
+    if code == "ARRAY_ITEMS_NOT_UNIQUE":
+        return f"Array items must be unique (duplicate at index {leaf})"
+    if code == "TYPE_ERROR":
+        return f"Value {observed!r} has the wrong type"
+    if code == "PATTERN_MISMATCH":
+        return f"String {observed!r} does not match the required pattern"
     loc = path or "<root>"
     return f"{code} at {loc}: {observed!r}"

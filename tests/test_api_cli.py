@@ -127,3 +127,13 @@ def test_cli_table_mode(tmp_path, spark):
     assert rc == 1
     viol = spark.read.parquet(out).collect()
     assert len(viol) == 1 and viol[0]["doc_id"] == 2  # key dtype preserved (long)
+
+
+def test_error_messages_reference_phrasing():
+    v = JsonValidator()
+    r = v.validate({}, {"required": ["name"]})
+    assert "Missing required property 'name'" in r.errors[0].message
+    r = v.validate({"a": [1, 2, 1]}, {"properties": {"a": {"uniqueItems": True}}})
+    assert "duplicate at index 2" in r.errors[0].message
+    r = v.validate({"x": 1}, {"properties": {"y": {}}, "additionalProperties": False})
+    assert "Additional property 'x' not allowed" in r.errors[0].message
