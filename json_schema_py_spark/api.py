@@ -55,10 +55,17 @@ class JsonValidator:
 
     def __init__(self, verbose: bool = False):
         self.verbose = verbose
-        self._cache: dict[int, Any] = {}
+        self._cache: dict[str, Any] = {}
 
     def validate(self, data: Any, schema: dict) -> ValidationResult:
-        key = id(schema)
+        # content-keyed cache: id() keys collide once a schema dict is
+        # garbage-collected and its address reused (observed in tests)
+        import json as _json
+
+        try:
+            key = _json.dumps(schema, sort_keys=True, default=str)
+        except (TypeError, ValueError):
+            key = repr(schema)
         rule = self._cache.get(key)
         if rule is None:
             try:
