@@ -111,3 +111,61 @@ def test_column_engine_matches_pyeval(spark, batch, schema):
         expected = {(c, p) for c, p, _ in evaluate(rule, doc, "")}
         got = eng.get(i, set())
         assert got == expected, f"row={doc} schema={schema}"
+
+
+MAP_ROW_TYPE = T.StructType(
+    [
+        T.StructField("rk", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ]
+)
+
+map_rows = st.one_of(
+    st.none(),
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "Bad Key", "x1"]),
+        st.one_of(st.none(), st.integers(-10, 10)),
+        max_size=4,
+    ),
+)
+
+map_schemas = st.builds(
+    lambda keywords: {"type": "object", "properties": {"m": {"type": "object", **keywords}}},
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "minProperties": st.integers(0, 3),
+            "maxProperties": st.integers(1, 3),
+            "required": st.lists(st.sampled_from(["alpha", "beta"]), max_size=2, unique=True),
+            "propertyNames": st.just({"pattern": "^[a-z]+$"}),
+            "properties": st.just({"alpha": {"minimum": 0}}),
+            "patternProperties": st.just({"^b": {"maximum": 5}}),
+            "additionalProperties": st.sampled_from([False, {"type": "integer", "minimum": -5}]),
+            "dependencies": st.just({"alpha": ["beta"]}),
+        },
+    ),
+)
+
+
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "25")), deadline=None)
+@given(batch=st.lists(map_rows, min_size=1, max_size=10), schema=map_schemas)
+def test_map_engine_matches_pyeval(spark, batch, schema):
+    """Open-keyed objects (MapType) — runtime key machinery vs pyeval.
+    Map VALUES keep JSON null semantics (present null), so only null MAPS
+    are dropped in the doc conversion."""
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.schema.model import normalize_schema
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    data = [(i, m) for i, m in enumerate(batch)]
+    df = spark.createDataFrame(data, MAP_ROW_TYPE)
+    eng: dict[int, set] = {}
+    for r in validate(df, schema, key_col="rk").collect():
+        eng.setdefault(r["doc_id"], set()).add((r["rule_id"], r["path"]))
+
+    rule = normalize_schema(schema)
+    for i, m in enumerate(batch):
+        doc = {} if m is None else {"m": m}
+        expected = {(c, p) for c, p, _ in evaluate(rule, doc, "")}
+        got = eng.get(i, set())
+        assert got == expected, f"map={m} schema={schema}"
