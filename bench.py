@@ -38,9 +38,17 @@ def _replicated_spans(spark, sf_dir: str, replication: int):
 
     from json_schema_py_spark.sources.synth import spans_documents
 
+    import hashlib
+    import inspect
+
+    from json_schema_py_spark.sources import synth as _synth
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{replication}"
+    # cache key includes the derivation-source hash: a change to synth.py
+    # must invalidate corpora cached by earlier rounds
+    src_tag = hashlib.md5(inspect.getsource(_synth).encode()).hexdigest()[:8]
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{replication}_{src_tag}"
     spans_path = f"/tmp/bench_spans_{tag}"
     if not os.path.exists(spans_path):
         reps = spark.range(replication).select(F.col("id").alias("rep"))
