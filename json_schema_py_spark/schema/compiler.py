@@ -302,16 +302,33 @@ class RuleBinder:
                     sstr,
                 )
             if rule.pattern is not None:
+                from json_schema_py_spark.schema.model import SchemaCompileError
+                from json_schema_py_spark.schema.regex_dialect import (
+                    java_compile_ok,
+                    to_java_pattern,
+                    warn_if_nonportable,
+                )
+
+                warn_if_nonportable(rule.pattern)
+                java_pattern = to_java_pattern(rule.pattern)
                 try:
                     re.compile(rule.pattern)
                     pattern_ok = True
                 except re.error:
                     pattern_ok = False
+                if pattern_ok and java_compile_ok(java_pattern) is False:
+                    # fail FAST at compile time instead of crashing rlike
+                    # per-row on the executors
+                    raise SchemaCompileError(
+                        f"pattern {rule.pattern!r} has no java.util.regex "
+                        "equivalent; validate this ruleset via "
+                        "plans.json_docs.validate_json_exact (CPython semantics)"
+                    )
                 if pattern_ok:
                     # rlike is search-anchored like re.search
                     # (reference: json_schema/constraints/strings.py:93)
                     add(
-                        lambda col, p=rule.pattern: ~col.rlike(p),
+                        lambda col, p=java_pattern: ~col.rlike(p),
                         ErrorCode.PATTERN_MISMATCH.value,
                         self_path,
                         sstr,

@@ -304,3 +304,23 @@ def test_with_violations_valid_flag(spark):
     flags = {r["doc_id"]: r["valid"] for r in out.collect()}
     assert flags == {1: True, 2: False}
     assert out.schema["violations"].dataType.simpleString().startswith("array<struct")
+
+
+def test_regex_dialect_warning(spark):
+    """Python-only regex constructs are flagged at compile time (the Column
+    engine runs Java rlike; the exact pandas path runs CPython re)."""
+    import warnings
+
+    from json_schema_py_spark.schema.regex_dialect import RegexDialectWarning
+
+    df = spark.createDataFrame([(1, "abx"), (2, "zz")], "doc_id long, s string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = validate(df, {"properties": {"s": {"pattern": "(?P<name>ab)"}}}).collect()
+    assert any(issubclass(x.category, RegexDialectWarning) for x in w)
+    # named group auto-translated to Java spelling: semantics preserved
+    assert {(r["doc_id"], r["rule_id"]) for r in out} == {(2, "PATTERN_MISMATCH")}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        validate(df, {"properties": {"s": {"pattern": "^doc-[0-9]+$"}}}).count()
+    assert not any(issubclass(x.category, RegexDialectWarning) for x in w)
