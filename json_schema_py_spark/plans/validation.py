@@ -61,9 +61,17 @@ def run_validation(
     key_col: str = "doc_id",
     unique_key: Optional[str] = "doc_id",
     media_dim: Optional[DataFrame] = None,
+    drift_baselines: Optional[Mapping[str, DataFrame]] = None,
+    drift_histogram: Optional[tuple] = None,
+    drift_threshold: float = 0.25,
     run_id: str = "run-0",
 ) -> ValidationRun:
-    """Validate ``df`` against every ruleset plus the engine-level checks."""
+    """Validate ``df`` against every ruleset plus the engine-level checks.
+
+    ``drift_baselines``: {column: baseline (bucket, cnt) histogram}; current
+    histograms use ``drift_histogram=(lo, hi, nbins)`` bounds. A PSI above
+    ``drift_threshold`` adds one table-level DISTRIBUTION_DRIFT row
+    (doc_id NULL) to the violations union."""
     parts: list[DataFrame] = [
         validate(df, schema, key_col=key_col) for schema in rulesets.values()
     ]
@@ -71,6 +79,15 @@ def run_validation(
         parts.append(uniqueness_violations(df, unique_key))
     if media_dim is not None and "spans" in df.columns:
         parts.append(spans_fk_violations(df, media_dim))
+    if drift_baselines:
+        from json_schema_py_spark.operators.drift import histogram, psi_drift_violation
+
+        lo, hi, nbins = drift_histogram or (0.0, 1000.0, 20)
+        for col, baseline in drift_baselines.items():
+            cur = histogram(df, col, lo, hi, nbins)
+            parts.append(
+                psi_drift_violation(cur, baseline, threshold=drift_threshold, column=col)
+            )
     violations = reduce(lambda a, b: a.unionByName(b), parts)
 
     first_schema = next(iter(rulesets.values()))

@@ -74,3 +74,32 @@ def test_run_validation_end_to_end(spark):
     assert by_rule["UNIQUENESS_VIOLATION"] == 10
     assert by_rule["REFERENTIAL_VIOLATION"] == 5
     assert run.verdicts.agg(F.sum("docs")).collect()[0][0] == 500
+
+
+def test_run_validation_with_drift(spark):
+    """Drift baselines wired into the single validation plan: a shifted
+    column trips DISTRIBUTION_DRIFT; a matching baseline doesn't."""
+    from pyspark.sql import functions as F2
+
+    from json_schema_py_spark.operators.drift import histogram
+    from json_schema_py_spark.plans.validation import run_validation
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, SF).withColumn("n_spans", F2.size("spans"))
+    self_hist = histogram(sd, "n_spans", 0.0, 10.0, 10)
+    shifted = histogram(
+        sd.withColumn("n_spans", F2.col("n_spans") + 4), "n_spans", 0.0, 10.0, 10
+    )
+
+    clean = run_validation(
+        sd, {"structural": DOCUMENTS_RULESET},
+        drift_baselines={"n_spans": self_hist}, drift_histogram=(0.0, 10.0, 10),
+    )
+    assert clean.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").count() == 0
+
+    drifted = run_validation(
+        sd, {"structural": DOCUMENTS_RULESET},
+        drift_baselines={"n_spans": shifted}, drift_histogram=(0.0, 10.0, 10),
+    )
+    rows = drifted.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").collect()
+    assert len(rows) == 1 and rows[0]["path"] == "/n_spans"
