@@ -331,41 +331,128 @@ def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + quantile sketches (approximate by design → rows-only
-    check; exactness is covered by q_column_stats/q_stats_lineitem)."""
+    """HLL distinct + GK quantile sketches, gate-checked against their hard
+    error bounds (the sketch VALUES are approximate by design, so the oracle
+    asserts the published contracts instead): approx_count_distinct(rsd=0.05)
+    within 15% of the exact count, each percentile_approx(accuracy=10000)
+    value inside the exact [q-0.01, q+0.01] rank envelope (GK guarantees rank
+    error ≤ n/accuracy = 0.0001 ≪ 0.01). A bound violation flips a boolean
+    and the gate hash mismatches."""
     from json_schema_py_spark.operators.stats import column_stats
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return column_stats(li, ["l_quantity", "l_extendedprice"], exact_distinct=False)
+    cols = ["l_quantity", "l_extendedprice"]
+    s = column_stats(li, cols, exact_distinct=False)
+
+    exact_aggs = []
+    for c in cols:
+        exact_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__xnd"))
+        exact_aggs.append(
+            F.expr(f"percentile({c}, array(0.24, 0.49, 0.74))").alias(f"{c}__lo")
+        )
+        exact_aggs.append(
+            F.expr(f"percentile({c}, array(0.26, 0.51, 0.76))").alias(f"{c}__hi")
+        )
+    ex = li.agg(*exact_aggs)
+
+    xnd = F.coalesce(
+        *[
+            F.when(F.col("column") == c, F.col(f"{c}__xnd")).otherwise(F.lit(None))
+            for c in cols
+        ]
+    )
+    q_ok = []
+    for i in range(3):
+        lo = F.coalesce(
+            *[
+                F.when(F.col("column") == c, F.get(F.col(f"{c}__lo"), i))
+                for c in cols
+            ]
+        )
+        hi = F.coalesce(
+            *[
+                F.when(F.col("column") == c, F.get(F.col(f"{c}__hi"), i))
+                for c in cols
+            ]
+        )
+        q_ok.append(
+            F.get(F.col("quantiles"), i).between(lo, hi).alias(f"q{(25, 50, 75)[i]}_ok")
+        )
+
+    return s.crossJoin(ex).select(
+        "column",
+        F.col("n_rows"),
+        (F.abs(F.col("n_distinct") - xnd) <= 0.15 * xnd).alias("nd_ok"),
+        *q_ok,
+    )
+
+
+def _recall_bound(truth: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """Aggregate recall of ``approx`` against ``truth`` (both keyed on
+    query_id, neighbor_id), emitted as a gate-hashable boolean: if recall
+    drops below ``floor`` the hash mismatches. Truth comes from the
+    brute-force path, itself 3/3 oracle-verified via q_ann_topk."""
+    hit = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    joined = truth.select("query_id", "neighbor_id").join(
+        F.broadcast(hit), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))) >= floor
+        ).alias("meets_floor"),
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate recall → rows-only check; recall vs
-    brute force is asserted in tests/test_dedup_similarity.py)."""
-    from json_schema_py_spark.operators.similarity import ann_lsh_topk
+    """LSH-bucketed ANN, gate-checked as a recall bound: approximate by
+    design, so the oracle asserts recall@5 ≥ floor vs the (oracle-verified)
+    brute-force truth rather than exact neighbor sets."""
+    from json_schema_py_spark.operators.similarity import ann_lsh_topk, brute_force_topk
 
     e = _emb(spark, sf_dir)
-    return ann_lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=8)
+    q = e.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(e, q, k=5)
+    approx = ann_lsh_topk(e, q, dim=64, k=5, n_planes=8, probe_radius=2)
+    return _recall_bound(truth, approx, floor=0.3).select(
+        F.lit("ann_lsh_recall_at_5").alias("metric"), "n_truth", "meets_floor"
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate → rows-only; full-probe ≡ brute force
-    asserted in tests)."""
-    from json_schema_py_spark.operators.similarity import ivf_topk
+    """IVF-bucketed ANN, gate-checked as a recall bound (see q_ann_lsh)."""
+    from json_schema_py_spark.operators.similarity import brute_force_topk, ivf_topk
 
     e = _emb(spark, sf_dir)
-    return ivf_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5, n_cells=16, n_probe=4)
+    q = e.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(e, q, k=5)
+    approx = ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4)
+    return _recall_bound(truth, approx, floor=0.4).select(
+        F.lit("ann_ivf_recall_at_5").alias("metric"), "n_truth", "meets_floor"
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: payload attach + Arrow-batched feature extract."""
+    """Multimodal plumbing: payload attach + Arrow-batched feature extract.
+    The fake decoder is deterministic md5 arithmetic, so the full output has
+    an exact DuckDB oracle; features are flattened to scalar columns for the
+    gate canonicalizer."""
     from json_schema_py_spark.operators.multimodal import (
+        FEATURE_DIM,
         attach_fake_payloads,
         extract_media_features,
     )
     from json_schema_py_spark.sources.synth import media_dim
 
-    return extract_media_features(attach_fake_payloads(media_dim(spark)))
+    feats = extract_media_features(attach_fake_payloads(media_dim(spark)))
+    return feats.select(
+        "media_ref",
+        "mime",
+        *[
+            F.round(F.get(F.col("features"), i), 6).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,11 +492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_json_exact": q_validate_json_exact,
         "q_sessionize": q_sessionize,
         "q_out_of_order": q_out_of_order,
-        # rows-only (approximate / plan-dependent / python-batched):
+        # approximate ops, gated via error-bound / recall-bound oracles:
         "q_sketches": q_sketches,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
+        # rows-only (partition ids are plan-dependent):
         "q_partition_verdicts": q_partition_verdicts,
     }
 
@@ -581,7 +669,7 @@ FROM base
         "q_token_counts": f"""
 WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_tokens,
-  list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT)) AS bpe_tokens,
+  list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT))::BIGINT AS bpe_tokens,
   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens,
   list_reduce(
     list_prepend(0::BIGINT,
@@ -694,7 +782,7 @@ WITH s AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s2 AS (
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+    (SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
   FROM s
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -708,5 +796,48 @@ SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts FROM (
     lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
   FROM events
 ) WHERE p IS NOT NULL AND ts < p
+""",
+        # sketch contract check: the oracle states the error-bound contract
+        # (all booleans TRUE) + exact row count; the Spark side computes the
+        # actual sketch-vs-exact comparison, so any bound violation mismatches
+        "q_sketches": """
+SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+  TRUE AS nd_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), TRUE, TRUE, TRUE, TRUE FROM lineitem
+""",
+        # recall bounds: truth cardinality derived from the data; meets_floor
+        # is the contract (engine computes actual recall vs brute force)
+        "q_ann_lsh": """
+SELECT 'ann_lsh_recall_at_5' AS metric, COUNT(*)::BIGINT * 5 AS n_truth,
+  TRUE AS meets_floor
+FROM embeddings WHERE vec_id < 10
+""",
+        "q_ann_ivf": """
+SELECT 'ann_ivf_recall_at_5' AS metric, COUNT(*)::BIGINT * 5 AS n_truth,
+  TRUE AS meets_floor
+FROM embeddings WHERE vec_id < 10
+""",
+        # full exact oracle: the fake decode is closed-form md5 arithmetic
+        # over the synthesized media dim (sources/synth.py media_dim)
+        "q_media_features": """
+WITH m AS (
+  SELECT 'm/' || CAST(r AS VARCHAR) || '.png' AS media_ref,
+    (['image/png','image/jpeg','video/mp4'])[(r % 3)::INT + 1] AS mime
+  FROM range(37) t(r)
+), p AS (
+  SELECT media_ref, mime, md5(repeat(md5(media_ref), 4)) AS h FROM m
+)
+SELECT media_ref, mime,
+  ROUND(('0x' || substr(h, 1, 2))::INT / 255.0, 6) AS f0,
+  ROUND(('0x' || substr(h, 3, 2))::INT / 255.0, 6) AS f1,
+  ROUND(('0x' || substr(h, 5, 2))::INT / 255.0, 6) AS f2,
+  ROUND(('0x' || substr(h, 7, 2))::INT / 255.0, 6) AS f3,
+  ROUND(('0x' || substr(h, 9, 2))::INT / 255.0, 6) AS f4,
+  ROUND(('0x' || substr(h, 11, 2))::INT / 255.0, 6) AS f5,
+  ROUND(('0x' || substr(h, 13, 2))::INT / 255.0, 6) AS f6,
+  ROUND(('0x' || substr(h, 15, 2))::INT / 255.0, 6) AS f7
+FROM p
 """,
     }

@@ -51,12 +51,15 @@ def attach_fake_payloads(media: DataFrame) -> DataFrame:
 
 
 def _fake_decode_features(payload: bytes) -> list[float]:
-    """Deterministic fake 'decoder': md5 bytes → FEATURE_DIM floats in [0,1).
+    """Deterministic fake 'decoder': md5 of the payload's hex rendering →
+    FEATURE_DIM floats in [0,1). Hashing the hex string (not the raw bytes)
+    keeps the fake oracle-expressible in DuckDB (whose md5 is VARCHAR-only)
+    while the operator still consumes the real binary column.
 
     REAL-DECODE INTEGRATION POINT: replace this body with e.g.
     ``PIL.Image.open(io.BytesIO(payload))`` + pooling. Signature and the
     mapInPandas plumbing below stay unchanged."""
-    h = hashlib.md5(payload or b"").digest()
+    h = hashlib.md5(bytes(payload or b"").hex().encode("ascii")).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 

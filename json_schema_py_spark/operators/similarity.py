@@ -129,6 +129,12 @@ def ann_lsh_topk(
     probes = [sig]
     if probe_radius >= 1:
         probes += [sig.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if probe_radius >= 2:
+        probes += [
+            sig.bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

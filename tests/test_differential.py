@@ -3,8 +3,8 @@ validator row-for-row on the derived documents table (the north rule's
 parity gate — BASELINE.json: 'exact violation-row parity vs json-schema-py
 golden pytest suite', verified via `python -m pytest -x -q`).
 
-Reference error-shape adapters (reference reports at container paths for two
-codes; see .claude/skills/verify/SKILL.md):
+Reference error-shape adapters (the reference reports two codes at their
+container paths; see tests/refadapt.py for the mapping):
 * REQUIRED_PROPERTY_MISSING: at object path + property name from message
 * ARRAY_ITEMS_NOT_UNIQUE: at array path + duplicate index from message
 * observed compared for scalar-valued codes (reference carries raw values;
