@@ -2,10 +2,31 @@
 
 The reference is single-process with no restart story; at 10^12 documents a
 validation run WILL be preempted, so verdict rows are appended to a lineage
-table keyed (run_id, partition_id) and a restart anti-joins completed
+table keyed (run_id, partition_key) and a restart anti-joins completed
 partitions away. Exactly-once semantics under retry come from
-last-writer-wins dedup on read: duplicate (run_id, partition_id) appends are
+last-writer-wins dedup on read: duplicate (run_id, partition_key) appends are
 collapsed by a window over ``ts`` — idempotent re-runs.
+
+Partition identity (ADVICE r01 fix): ``spark_partition_id()`` is NOT durable
+across runs — ids depend on split planning (maxPartitionBytes, core count,
+file layout, AQE). Two defenses:
+
+* **Durable keys (production path)**: pass ``partition_key`` — a stable
+  column such as the input file path
+  (``spans_documents(include_source_file=True)`` → ``_source_file``) or an
+  Iceberg partition value. Resume then anti-joins on identity that survives
+  re-planning.
+* **Layout guard (volatile path)**: every append stamps a planning
+  fingerprint (maxPartitionBytes, shuffle partitions, AQE, parallelism);
+  ``remaining()`` under the default spark_partition_id key RAISES if the
+  current session's fingerprint differs from the checkpointed one, instead
+  of silently skipping rows that were never validated.
+
+Cross-row caveat: uniqueness/FK checks are only meaningful over the FULL
+table. A resumed run's remainder sees only unvalidated partitions, so
+duplicates spanning completed and remaining data are invisible to it —
+re-run cross-row checks table-wide after resume (plans/validation.py
+docstring).
 
 Sandbox storage is an append-only parquet directory; on a real cluster the
 same API binds to an Iceberg table (append snapshot per batch) — the
@@ -17,22 +38,44 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from typing import Union
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
-        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("partition_key", T.StringType()),
         T.StructField("pass", T.BooleanType()),
         T.StructField("docs", T.LongType()),
         T.StructField("violations", T.LongType()),
         T.StructField("ts", T.DoubleType()),
         T.StructField("attempt", T.StringType()),
+        T.StructField("layout", T.StringType()),
     ]
 )
+
+
+def planning_fingerprint(spark: SparkSession) -> str:
+    """The session knobs that determine spark_partition_id assignment."""
+    conf = spark.conf
+
+    def g(k: str) -> str:
+        try:
+            return str(conf.get(k))
+        except Exception:
+            return ""
+
+    return "|".join(
+        [
+            g("spark.sql.files.maxPartitionBytes"),
+            g("spark.sql.files.openCostInBytes"),
+            g("spark.sql.adaptive.enabled"),
+            str(spark.sparkContext.defaultParallelism),
+        ]
+    )
 
 
 class LineageLog:
@@ -43,15 +86,16 @@ class LineageLog:
         self.path = path
 
     def append(self, verdicts: DataFrame) -> None:
-        """Append verdict rows (run_id, partition_id, pass, docs, violations)."""
+        """Append verdict rows (run_id, partition_key, pass, docs, violations)."""
         stamped = verdicts.select(
             "run_id",
-            F.col("partition_id").cast("int"),
+            F.col("partition_key").cast("string"),
             "pass",
             F.col("docs").cast("long"),
             F.col("violations").cast("long"),
             F.lit(time.time()).alias("ts"),
             F.lit(uuid.uuid4().hex).alias("attempt"),
+            F.lit(planning_fingerprint(self.spark)).alias("layout"),
         )
         stamped.write.mode("append").parquet(self.path)
 
@@ -63,7 +107,7 @@ class LineageLog:
     def completed(self, run_id: str) -> DataFrame:
         """Latest verdict per partition for a run (last-writer-wins dedup —
         retried partitions count once)."""
-        w = Window.partitionBy("run_id", "partition_id").orderBy(F.desc("ts"))
+        w = Window.partitionBy("run_id", "partition_key").orderBy(F.desc("ts"))
         return (
             self.read()
             .where(F.col("run_id") == run_id)
@@ -72,17 +116,45 @@ class LineageLog:
             .drop("_rn")
         )
 
-    def remaining(self, df: DataFrame, run_id: str) -> DataFrame:
+    def remaining(
+        self,
+        df: DataFrame,
+        run_id: str,
+        partition_key: Union[str, Column, None] = None,
+    ) -> DataFrame:
         """Rows of ``df`` whose partition has NOT been checkpointed yet for
-        ``run_id`` — a broadcast anti-join on partition id; resumed runs skip
-        completed partitions without re-reading their data (with Iceberg
-        partition values the skip becomes partition PRUNING at the scan)."""
-        done = self.completed(run_id).select("partition_id")
-        tagged = df.withColumn("_pid", F.spark_partition_id())
+        ``run_id`` — a broadcast anti-join on the partition key; resumed runs
+        skip completed partitions without re-reading their data (with a file
+        path or Iceberg partition value as the key, the skip becomes
+        partition PRUNING at the scan).
+
+        With the default (volatile) spark_partition_id key, raises
+        ValueError if the checkpointed planning layout differs from the
+        current session's — resuming under a changed layout would silently
+        anti-join away rows that were never validated."""
+        done = self.completed(run_id)
+        if partition_key is None:
+            current = planning_fingerprint(self.spark)
+            stale = done.where(F.col("layout") != current).limit(1).collect()
+            if stale:
+                raise ValueError(
+                    "resume keyed on spark_partition_id requires an unchanged "
+                    f"planning layout: checkpoint={stale[0]['layout']!r} "
+                    f"current={current!r}. Pass a durable partition_key column "
+                    "(e.g. _source_file) instead."
+                )
+            key_expr: Column = F.spark_partition_id().cast("string")
+        elif isinstance(partition_key, str):
+            key_expr = F.col(partition_key).cast("string")
+        else:
+            key_expr = partition_key.cast("string")
+        tagged = df.withColumn("_pkey", key_expr)
         return (
             tagged.join(
-                F.broadcast(done.withColumnRenamed("partition_id", "_pid")),
-                "_pid",
+                F.broadcast(
+                    done.select(F.col("partition_key").alias("_pkey"))
+                ),
+                "_pkey",
                 "left_anti",
-            ).drop("_pid")
+            ).drop("_pkey")
         )

@@ -74,10 +74,20 @@ def validate_json_typed(
         exploded = flat.withColumn("violations", v)
     else:
         # map/array/scalar-rooted schema: bind the rule to the parsed column
-        # directly; root path stays "" so pointers match the exact path
+        # directly; root path stays "" so pointers match the exact path.
+        # from_json only accepts struct/array/map roots, so a SCALAR root is
+        # parsed by wrapping the raw text as {"v": <raw>} into struct<v:T>
+        # and binding at the field (ADVICE r01: bare {'type':'integer'} roots
+        # previously failed analysis with INVALID_JSON_SCHEMA).
         bound = RuleBinder().bind(rule, spark_t)
+        if isinstance(spark_t, (T.ArrayType, T.MapType)):
+            parsed_col = F.from_json(F.col(json_col), spark_t)
+        else:
+            wrapper = T.StructType([T.StructField("v", spark_t)])
+            wrapped = F.concat(F.lit('{"v":'), F.col(json_col), F.lit("}"))
+            parsed_col = F.from_json(wrapped, wrapper)["v"]
         parsed = df.select(
-            F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
+            F.col(key_col).alias("doc_id"), parsed_col.alias("d")
         )
         doc = F.col("d")
         v = F.get(

@@ -4,35 +4,67 @@ reference: json_schema/api.py:42-79, json_schema/validator.py:31-60).
 
 Plan shape (one fused scan for all per-row work):
 
-    parquet scan ──(projection: violations array per ruleset)──┐
-        │                                                      ├── union →
-        ├── per-partition rollup (spark_partition_id groupBy)  │ violations
-        ├── uniqueness: salted 2-stage agg + semi join ────────┤
-        └── FK: posexplode + broadcast/salted anti-join ───────┘
+    parquet scan ──(ONE projection: concat of every ruleset's violations)──┐
+        │                                                                  ├──
+        ├── per-partition rollup (partition_key groupBy)                   │
+        ├── uniqueness: salted 2-stage agg + semi join ────────────────────┤
+        └── FK: posexplode + broadcast/salted anti-join ───────────────────┘
+                                                                → violations
 
 Per-row rulesets never shuffle; the only shuffles are the engine-level
 cross-row checks, each individually skew-hardened (see their modules).
+
+Verdict semantics (ADVICE r01 fix): a partition's pass/fail covers BOTH the
+per-row rulesets (all of them, not just the first) AND the cross-row engine
+checks attributable to its rows — cross-row violation counts are joined back
+by key, so a partition carrying a duplicate or FK miss can no longer be
+checkpointed as ``pass``. A duplicate spanning two partitions fails both
+(each must be reprocessed). Table-level checks (distribution drift) land on
+a ``__table__`` pseudo-partition row. Cross-row checks are only meaningful
+over the FULL table: on a checkpoint-resumed remainder they see only the
+remaining rows, so resumed runs must re-run uniqueness/FK table-wide (see
+plans/checkpoint.py docstring).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import reduce
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping, Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from json_schema_py_spark.operators.referential import spans_fk_violations
 from json_schema_py_spark.operators.uniqueness import uniqueness_violations
-from json_schema_py_spark.schema.compiler import validate, with_violations
+from json_schema_py_spark.schema.compiler import compile_ruleset
 
 
-def partition_verdicts(df_with_valid: DataFrame, run_id: str = "run-0") -> DataFrame:
-    """Per-partition pass/fail rollup (north rule): one row per input
-    partition — (run_id, partition_id, pass, docs, violations)."""
+def _partition_key_col(partition_key: Union[str, Column, None]) -> Column:
+    """Resolve the partition identity. Default is ``spark_partition_id()`` —
+    valid ONLY within a single planning layout (ids depend on split planning:
+    maxPartitionBytes, core count, file layout, AQE). For durable
+    checkpoint/resume identity pass a stable column: the input file path
+    (``sources.synth.spans_documents(include_source_file=True)`` →
+    ``_source_file``) or an Iceberg partition value."""
+    if partition_key is None:
+        return F.spark_partition_id().cast("string")
+    if isinstance(partition_key, str):
+        return F.col(partition_key).cast("string")
+    return partition_key.cast("string")
+
+
+def partition_verdicts(
+    df_with_valid: DataFrame,
+    run_id: str = "run-0",
+    partition_key: Union[str, Column, None] = None,
+) -> DataFrame:
+    """Per-partition pass/fail rollup over per-ROW violations: one row per
+    partition key — (run_id, partition_key, pass, docs, violations). For the
+    full verdict (cross-row checks included) use ``run_validation``."""
     return (
-        df_with_valid.groupBy(F.spark_partition_id().alias("partition_id"))
+        df_with_valid.groupBy(_partition_key_col(partition_key).alias("partition_key"))
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.size("violations")).alias("violations"),
@@ -40,7 +72,7 @@ def partition_verdicts(df_with_valid: DataFrame, run_id: str = "run-0") -> DataF
         )
         .select(
             F.lit(run_id).alias("run_id"),
-            "partition_id",
+            "partition_key",
             "pass",
             "docs",
             "violations",
@@ -51,8 +83,8 @@ def partition_verdicts(df_with_valid: DataFrame, run_id: str = "run-0") -> DataF
 @dataclass
 class ValidationRun:
     violations: DataFrame  # (doc_id, rule_id, path, observed)
-    verdicts: DataFrame  # (run_id, partition_id, pass, docs, violations)
-    annotated: DataFrame  # input + violations array + valid flag
+    verdicts: DataFrame  # (run_id, partition_key, pass, docs, violations)
+    annotated: DataFrame  # input + violations array (ALL rulesets) + valid flag
 
 
 def run_validation(
@@ -65,32 +97,114 @@ def run_validation(
     drift_histogram: Optional[tuple] = None,
     drift_threshold: float = 0.25,
     run_id: str = "run-0",
+    partition_key: Union[str, Column, None] = None,
 ) -> ValidationRun:
     """Validate ``df`` against every ruleset plus the engine-level checks.
 
     ``drift_baselines``: {column: baseline (bucket, cnt) histogram}; current
     histograms use ``drift_histogram=(lo, hi, nbins)`` bounds. A PSI above
     ``drift_threshold`` adds one table-level DISTRIBUTION_DRIFT row
-    (doc_id NULL) to the violations union."""
-    parts: list[DataFrame] = [
-        validate(df, schema, key_col=key_col) for schema in rulesets.values()
-    ]
+    (doc_id NULL) to the violations union and a ``__table__`` verdict row.
+
+    Scale note: cross-row verdict attribution broadcast-joins the violating
+    KEYS back onto the table — it assumes violating keys ≪ table size (the
+    normal regime; a table where half the keys violate has bigger problems
+    than verdict bookkeeping)."""
+    struct_type = T.StructType([f for f in df.schema.fields])
+    arrays = [compile_ruleset(schema, struct_type) for schema in rulesets.values()]
+    combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    annotated = df.withColumn("violations", combined).withColumn(
+        "valid", F.size("violations") == 0
+    )
+    row_viols = annotated.select(
+        F.col(key_col).alias("doc_id"), F.explode("violations").alias("v")
+    ).select(
+        "doc_id",
+        F.col("v.rule_id").alias("rule_id"),
+        F.col("v.path").alias("path"),
+        F.col("v.observed").alias("observed"),
+    )
+
+    cross_parts: list[DataFrame] = []
     if unique_key is not None:
-        parts.append(uniqueness_violations(df, unique_key))
+        cross_parts.append(uniqueness_violations(df, unique_key))
     if media_dim is not None and "spans" in df.columns:
-        parts.append(spans_fk_violations(df, media_dim))
+        cross_parts.append(spans_fk_violations(df, media_dim))
+
+    table_parts: list[DataFrame] = []
     if drift_baselines:
         from json_schema_py_spark.operators.drift import histogram, psi_drift_violation
 
         lo, hi, nbins = drift_histogram or (0.0, 1000.0, 20)
         for col, baseline in drift_baselines.items():
             cur = histogram(df, col, lo, hi, nbins)
-            parts.append(
+            table_parts.append(
                 psi_drift_violation(cur, baseline, threshold=drift_threshold, column=col)
             )
-    violations = reduce(lambda a, b: a.unionByName(b), parts)
 
-    first_schema = next(iter(rulesets.values()))
-    annotated = with_violations(df, first_schema)
-    verdicts = partition_verdicts(annotated, run_id)
+    violations = reduce(
+        lambda a, b: a.unionByName(b), [row_viols] + cross_parts + table_parts
+    )
+
+    # ---- verdicts: per-row rollup + cross-row attribution by key ----
+    pkey = _partition_key_col(partition_key)
+    rollup = annotated.groupBy(pkey.alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("violations")).alias("_row_viols"),
+    )
+    if cross_parts:
+        # each key's cross-row violations are distributed over the rows
+        # carrying that key (a dup pair split across two partitions fails
+        # both, one violation each; totals sum exactly to the violation-row
+        # count). Only VIOLATING keys leave the map side: the broadcast
+        # inner join filters the big table down to the tiny hit set before
+        # any shuffle.
+        by_key = (
+            reduce(lambda a, b: a.unionByName(b), cross_parts)
+            .where(F.col("doc_id").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_kviols"))
+        )
+        keyed = annotated.select(
+            F.col(key_col).cast("string").alias("doc_id"),
+            pkey.alias("partition_key"),
+        )
+        hits = keyed.join(F.broadcast(by_key), "doc_id")
+        per_pk = hits.groupBy("doc_id", "partition_key").agg(
+            F.count(F.lit(1)).alias("_rows_pk"), F.first("_kviols").alias("_kviols")
+        )
+        per_key = per_pk.groupBy("doc_id").agg(F.sum("_rows_pk").alias("_rows_total"))
+        attributed = (
+            per_pk.join(per_key, "doc_id")
+            .withColumn(
+                "_share", F.col("_kviols") * F.col("_rows_pk") / F.col("_rows_total")
+            )
+            .groupBy("partition_key")
+            .agg(F.round(F.sum("_share")).cast("long").alias("_cross_viols"))
+        )
+        rollup = rollup.join(attributed, "partition_key", "left")
+    else:
+        rollup = rollup.withColumn("_cross_viols", F.lit(None).cast("long"))
+
+    total = F.col("_row_viols") + F.coalesce(F.col("_cross_viols"), F.lit(0))
+    verdicts = rollup.select(
+        F.lit(run_id).alias("run_id"),
+        "partition_key",
+        (total == 0).alias("pass"),
+        "docs",
+        total.alias("violations"),
+    )
+    if table_parts:
+        tbl = (
+            reduce(lambda a, b: a.unionByName(b), table_parts)
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit("__table__").alias("partition_key"),
+                (F.col("violations") == 0).alias("pass"),
+                F.lit(0).cast("long").alias("docs"),
+                F.col("violations").cast("long"),
+            )
+        )
+        verdicts = verdicts.unionByName(tbl)
     return ValidationRun(violations=violations, verdicts=verdicts, annotated=annotated)

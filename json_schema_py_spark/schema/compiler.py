@@ -191,6 +191,53 @@ def _enum_compatible(dtype: T.DataType, values: list[Any]) -> list[Any]:
     return out
 
 
+def _to_json_literal(v: Any, dtype: T.DataType) -> str:
+    """Render a Python value the way ``F.to_json`` renders a column of
+    ``dtype`` — struct fields in SCHEMA order, null/absent fields omitted,
+    numerics coerced to the column type — so composite enum/const values
+    compare as plain string equality against ``to_json(col)``. A value the
+    dtype cannot represent renders faithfully anyway; it then never equals
+    any to_json output, which is the correct always-mismatch semantics.
+    (Float scientific-notation corners follow the documented py_str
+    deviation, SURVEY.md §7.)"""
+    import json as _json
+
+    if v is None:
+        return "null"
+    if isinstance(dtype, T.StructType) and isinstance(v, dict):
+        parts = [
+            _json.dumps(f.name, ensure_ascii=False) + ":" + _to_json_literal(v[f.name], f.dataType)
+            for f in dtype.fields
+            if f.name in v and v[f.name] is not None
+        ]
+        known = {f.name for f in dtype.fields}
+        parts += [  # unmatchable keys: rendered for faithfulness, never equal
+            _json.dumps(k, ensure_ascii=False) + ":" + _json.dumps(x, ensure_ascii=False)
+            for k, x in v.items()
+            if k not in known
+        ]
+        return "{" + ",".join(parts) + "}"
+    if isinstance(dtype, T.MapType) and isinstance(v, dict):
+        parts = [
+            _json.dumps(k, ensure_ascii=False) + ":" + _to_json_literal(x, dtype.valueType)
+            for k, x in v.items()
+        ]
+        return "{" + ",".join(parts) + "}"
+    if isinstance(dtype, T.ArrayType) and isinstance(v, list):
+        return "[" + ",".join(_to_json_literal(x, dtype.elementType) for x in v) + "]"
+    if isinstance(dtype, T.BooleanType) and isinstance(v, (bool, int)):
+        return "true" if v else "false"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)) and isinstance(v, (int, float)):
+        return repr(float(v))
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) and isinstance(
+        v, (int, float)
+    ):
+        return str(int(v))
+    return _json.dumps(v, ensure_ascii=False, separators=(",", ":"), sort_keys=True)
+
+
 @dataclass
 class Check:
     """One leaf constraint: a pure predicate + a violation constructor."""
@@ -259,9 +306,7 @@ class RuleBinder:
         if rule.enum is not None:
             vals = _enum_compatible(dtype, rule.enum)
             if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
-                import json as _json
-
-                jvals = [_json.dumps(v, separators=(",", ":"), sort_keys=True) for v in vals]
+                jvals = [_to_json_literal(v, dtype) for v in vals]
                 add(
                     (lambda col, j=jvals: ~F.to_json(col).isin(j) if j else F.lit(True)),
                     ErrorCode.ENUM_MISMATCH.value,
@@ -277,12 +322,23 @@ class RuleBinder:
                 )
         if rule.const_set:
             cvals = _enum_compatible(dtype, [rule.const])
-            add(
-                (lambda col, v=cvals: (col != F.lit(v[0])) if v else F.lit(True)),
-                ErrorCode.CONST_MISMATCH.value,
-                self_path,
-                lambda col, dt=dtype: py_str(col, dt),
-            )
+            if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
+                # composite const: F.lit can't take dict/list — compare the
+                # to_json rendering against the value rendered the same way
+                cjs = [_to_json_literal(v, dtype) for v in cvals]
+                add(
+                    (lambda col, j=cjs: (F.to_json(col) != F.lit(j[0])) if j else F.lit(True)),
+                    ErrorCode.CONST_MISMATCH.value,
+                    self_path,
+                    lambda col, dt=dtype: py_str(col, dt),
+                )
+            else:
+                add(
+                    (lambda col, v=cvals: (col != F.lit(v[0])) if v else F.lit(True)),
+                    ErrorCode.CONST_MISMATCH.value,
+                    self_path,
+                    lambda col, dt=dtype: py_str(col, dt),
+                )
 
         # --- string (reference: json_schema/constraints/strings.py:12-118) ---
         if jt == "string":

@@ -128,19 +128,30 @@ def _span_struct(i: Column, text: Column, j: Column, plant: Column) -> Column:
     )
 
 
-def spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spans_documents(
+    spark: SparkSession, sf_dir: str, include_source_file: bool = False
+) -> DataFrame:
     """The interleaved documents table: (src_id, doc_id, spans).
 
     ``src_id`` is the original integer doc index, kept as lineage so
     engine-level checks (uniqueness pairs, FK misses) can be oracle-verified
-    even for rows whose doc_id is mutated/NULL."""
+    even for rows whose doc_id is mutated/NULL.
+
+    ``include_source_file=True`` adds ``_source_file`` (the parquet file path
+    via the ``_metadata`` hidden column) — the DURABLE partition identity for
+    checkpoint/resume (plans/checkpoint.py); on Iceberg the same role is
+    played by the partition-values column."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # project to unambiguous names first: the output re-uses the name
     # "doc_id", and lateral column alias resolution would otherwise bind
     # F.col("doc_id") inside the span lambdas to the NEW string column
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("src_id"), F.col("text").alias("src_text")
-    )
+    base_cols = [
+        F.col("doc_id").cast("long").alias("src_id"),
+        F.col("text").alias("src_text"),
+    ]
+    if include_source_file:
+        base_cols.append(F.col("_metadata.file_path").alias("_source_file"))
+    base = docs.select(*base_cols)
     i = F.col("src_id")
     text = F.col("src_text")
     plant = i % 101
@@ -161,11 +172,10 @@ def spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(spans_nat)
     )
 
-    return base.select(
-        F.col("src_id"),
-        doc_id_str.alias("doc_id"),
-        spans.alias("spans"),
-    )
+    out_cols = [F.col("src_id"), doc_id_str.alias("doc_id"), spans.alias("spans")]
+    if include_source_file:
+        out_cols.append(F.col("_source_file"))
+    return base.select(*out_cols)
 
 
 def media_dim(spark: SparkSession) -> DataFrame:

@@ -44,9 +44,20 @@ def violation_streaks(
     min_streak: int = 1,
     state_ttl_hours: float | None = None,
 ) -> DataFrame:
-    """Group a violations STREAM by key and maintain consecutive-batch streak
-    state. Emits (key, streak, violations_in_batch) per key per batch where
-    the streak ≥ min_streak."""
+    """Group a violations STREAM by key and count its violation-bearing
+    micro-batches. Emits (key, streak, violations_in_batch) per key per
+    batch where the streak ≥ min_streak.
+
+    Reset semantics (exact, not "consecutive batches"): a violations stream
+    only ever delivers rows for keys that violated, and
+    applyInPandasWithState does not invoke absent keys — so there is no
+    in-band "clean batch" signal to reset on. The streak therefore counts
+    ALL violation-bearing batches for the key, and resets when the key's
+    state expires via ``state_ttl_hours`` (ProcessingTimeTimeout): a key
+    quiet for the TTL starts over at 1. Callers wanting strict
+    consecutive-batch semantics must aggregate violations per key per batch
+    UPSTREAM including zero-count rows (requires a known key universe) and
+    feed that stream here — the n == 0 branch below then resets in-band."""
     ttl_ms = int(state_ttl_hours * 3600 * 1000) if state_ttl_hours else 0
 
     def update(
@@ -54,6 +65,9 @@ def violation_streaks(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = sum(len(p) for p in pdfs)
         (streak,) = state.get if state.exists else (0,)
         if n > 0:
@@ -66,6 +80,7 @@ def violation_streaks(
                     {"key": [key[0]], "streak": [streak], "violations_in_batch": [n]}
                 )
         else:
+            # reachable only with upstream zero-count feeding (see docstring)
             state.remove()
 
     return violations.withColumn("key", F.col(key_col)).groupBy("key").applyInPandasWithState(

@@ -29,17 +29,38 @@ def main(sf_dir: str, out_dir: str, run_id: str = "run-0") -> int:
     )
 
     log = LineageLog(spark, f"{out_dir}/lineage")
-    sd = log.remaining(spans_documents(spark, sf_dir), run_id)
+    # durable partition identity: the input file path survives re-planning
+    # (a resumed run under different core counts / maxPartitionBytes still
+    # skips exactly the completed files — plans/checkpoint.py)
+    full = spans_documents(spark, sf_dir, include_source_file=True)
+    sd = log.remaining(full, run_id, partition_key="_source_file")
+
+    # per-row rulesets: checkpointable per partition (row-local work)
     run = run_validation(
         sd,
         {"structural": DOCUMENTS_RULESET, "media_dep": MEDIA_DEPENDENCY_RULESET},
-        media_dim=media_dim(spark),
+        unique_key=None,
+        media_dim=None,
         run_id=run_id,
+        partition_key="_source_file",
     )
     run.violations.write.mode("append").parquet(f"{out_dir}/violations")
     log.append(run.verdicts)
+
+    # cross-row checks (uniqueness, FK): only meaningful over the FULL table
+    # — a resumed remainder can't see duplicates spanning completed data, so
+    # these re-run table-wide every attempt and overwrite their own output
+    from json_schema_py_spark.operators.referential import spans_fk_violations
+    from json_schema_py_spark.operators.uniqueness import uniqueness_violations
+
+    cross = uniqueness_violations(full, "doc_id").unionByName(
+        spans_fk_violations(full, media_dim(spark))
+    )
+    cross.write.mode("overwrite").parquet(f"{out_dir}/violations_cross")
+
     n = spark.read.parquet(f"{out_dir}/violations").count()
-    print(f"violations so far: {n}")
+    nc = spark.read.parquet(f"{out_dir}/violations_cross").count()
+    print(f"violations so far: {n} per-row + {nc} cross-row")
     return 0
 
 

@@ -1,7 +1,9 @@
-"""Lineage checkpoint / resume: idempotency under retry (north rule)."""
+"""Lineage checkpoint / resume: idempotency under retry, durable partition
+identity, layout guard, full-union verdicts (north rule + ADVICE r01)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -32,24 +34,71 @@ def test_checkpoint_resume_and_retry_dedup(spark, tmp_path):
     log = LineageLog(spark, str(tmp_path / "lineage"))
     ann = _annotated(spark)
     verdicts = partition_verdicts(ann, run_id="r1")
+    first_two = F.col("partition_key").isin(["0", "1"])
 
     # checkpoint only partitions 0 and 1 (simulate a killed run)
-    log.append(verdicts.where(F.col("partition_id") < 2))
+    log.append(verdicts.where(first_two))
     remaining = log.remaining(ann, "r1")
-    done_docs = verdicts.where(F.col("partition_id") < 2).agg(F.sum("docs")).collect()[0][0]
+    done_docs = verdicts.where(first_two).agg(F.sum("docs")).collect()[0][0]
     assert remaining.count() == 500 - done_docs
 
     # retry appends the same partitions again → last-writer-wins dedup
-    log.append(verdicts.where(F.col("partition_id") < 2))
+    log.append(verdicts.where(first_two))
     assert log.completed("r1").count() == 2
 
     # finish the run; nothing remains
-    log.append(verdicts.where(F.col("partition_id") >= 2))
+    log.append(verdicts.where(~first_two))
     assert log.remaining(ann, "r1").count() == 0
     assert log.completed("r1").count() == 4
 
     # a different run_id is unaffected
     assert log.remaining(ann, "r2").count() == 500
+
+
+def test_checkpoint_durable_file_key(spark, tmp_path):
+    """Resume keyed on the input FILE PATH: survives re-planning (the
+    spark_partition_id failure mode from ADVICE r01)."""
+    from json_schema_py_spark.plans.checkpoint import LineageLog
+    from json_schema_py_spark.plans.validation import partition_verdicts, run_validation
+    from json_schema_py_spark.schema.compiler import with_violations
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, SF, include_source_file=True)
+    assert "_source_file" in sd.columns
+    ann = with_violations(sd, DOCUMENTS_RULESET)
+    verdicts = partition_verdicts(ann, run_id="rf", partition_key="_source_file")
+    rows = verdicts.collect()
+    assert all(r["partition_key"].endswith(".parquet") for r in rows)
+    assert sum(r["docs"] for r in rows) == 500
+
+    log = LineageLog(spark, str(tmp_path / "lineage"))
+    log.append(verdicts)
+    # same data re-derived (fresh plan → potentially different partition ids)
+    # still resolves to zero remaining under the durable key
+    sd2 = spans_documents(spark, SF, include_source_file=True).repartition(7)
+    assert log.remaining(sd2, "rf", partition_key="_source_file").count() == 0
+    assert log.remaining(sd2, "other", partition_key="_source_file").count() == 500
+
+
+def test_checkpoint_layout_guard(spark, tmp_path):
+    """Volatile spark_partition_id resume under a CHANGED planning layout
+    must raise, not silently skip unvalidated rows."""
+    from json_schema_py_spark.plans.checkpoint import LineageLog
+    from json_schema_py_spark.plans.validation import partition_verdicts
+
+    log = LineageLog(spark, str(tmp_path / "lineage"))
+    ann = _annotated(spark)
+    log.append(partition_verdicts(ann, run_id="r1"))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "12345678")
+    try:
+        with pytest.raises(ValueError, match="planning layout"):
+            log.remaining(ann, "r1")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # restored layout resumes fine
+    assert log.remaining(ann, "r1").count() == 0
 
 
 def test_run_validation_end_to_end(spark):
@@ -76,9 +125,46 @@ def test_run_validation_end_to_end(spark):
     assert run.verdicts.agg(F.sum("docs")).collect()[0][0] == 500
 
 
+def test_verdicts_cover_all_rulesets_and_cross_row_checks(spark):
+    """ADVICE r01: a partition whose ONLY violations come from the second
+    ruleset or from cross-row checks must NOT be checkpointed as pass."""
+    from json_schema_py_spark.plans.validation import run_validation
+    from json_schema_py_spark.sources.synth import (
+        DOCUMENTS_RULESET,
+        MEDIA_DEPENDENCY_RULESET,
+        media_dim,
+        spans_documents,
+    )
+
+    sd = spans_documents(spark, SF)
+    run = run_validation(
+        sd,
+        {"structural": DOCUMENTS_RULESET, "dep": MEDIA_DEPENDENCY_RULESET},
+        media_dim=media_dim(spark),
+    )
+    # every violation row attributable to a key is reflected in the verdicts:
+    # total verdict violations == per-row rows + cross-row rows (all keyed)
+    n_viol = run.violations.count()
+    verdict_total = run.verdicts.agg(F.sum("violations")).collect()[0][0]
+    assert verdict_total == n_viol
+
+    # second ruleset alone: drop structural, keep only the anyOf dependency
+    dep_only = run_validation(
+        sd, {"dep": MEDIA_DEPENDENCY_RULESET}, unique_key=None
+    )
+    assert dep_only.verdicts.agg(F.sum("violations")).collect()[0][0] == 5
+
+    # cross-row only: clean ruleset, uniqueness must still fail the verdict
+    clean_rules = {"noop": {"type": "object"}}
+    cross_only = run_validation(sd, clean_rules, media_dim=media_dim(spark))
+    assert cross_only.verdicts.agg(F.sum("violations")).collect()[0][0] == 15
+    assert cross_only.verdicts.where(~F.col("pass")).count() >= 1
+
+
 def test_run_validation_with_drift(spark):
     """Drift baselines wired into the single validation plan: a shifted
-    column trips DISTRIBUTION_DRIFT; a matching baseline doesn't."""
+    column trips DISTRIBUTION_DRIFT (violations row + __table__ verdict);
+    a matching baseline doesn't."""
     from pyspark.sql import functions as F2
 
     from json_schema_py_spark.operators.drift import histogram
@@ -96,6 +182,8 @@ def test_run_validation_with_drift(spark):
         drift_baselines={"n_spans": self_hist}, drift_histogram=(0.0, 10.0, 10),
     )
     assert clean.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").count() == 0
+    tbl = clean.verdicts.where(F2.col("partition_key") == "__table__").collect()
+    assert len(tbl) == 1 and tbl[0]["pass"] and tbl[0]["violations"] == 0
 
     drifted = run_validation(
         sd, {"structural": DOCUMENTS_RULESET},
@@ -103,3 +191,5 @@ def test_run_validation_with_drift(spark):
     )
     rows = drifted.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").collect()
     assert len(rows) == 1 and rows[0]["path"] == "/n_spans"
+    tbl = drifted.verdicts.where(F2.col("partition_key") == "__table__").collect()
+    assert len(tbl) == 1 and not tbl[0]["pass"] and tbl[0]["violations"] == 1

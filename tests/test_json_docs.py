@@ -97,3 +97,33 @@ def test_rule_to_spark_type():
         normalize_schema({"type": "object", "additionalProperties": {"type": "integer"}})
     )
     assert isinstance(m, T.MapType) and isinstance(m.valueType, T.LongType)
+
+
+def test_scalar_rooted_schema_typed(spark):
+    """Scalar-rooted schemas on the typed path (ADVICE r01: from_json rejects
+    non-struct/array/map roots — the raw text is wrapped as {"v": <raw>})."""
+    from json_schema_py_spark.plans.json_docs import validate_json_typed
+
+    df = spark.createDataFrame(
+        [(1, "5"), (2, "3"), (3, "12"), (4, '"nope"')],
+        "doc_id long, payload string",
+    )
+    out = {
+        (r["doc_id"], r["rule_id"], r["path"])
+        for r in validate_json_typed(
+            df, "payload", {"type": "integer", "minimum": 5}
+        ).collect()
+    }
+    # doc 2: below minimum at the ROOT path; doc 4: wrong type parses to null
+    # under from_json (typed-path caveat: null == absent, skipped)
+    assert out == {(2, "NUMBER_TOO_SMALL", "")}
+
+    sout = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate_json_typed(
+            spark.createDataFrame([(1, '"ab"'), (2, '"abcdef"')], "doc_id long, payload string"),
+            "payload",
+            {"type": "string", "minLength": 3, "maxLength": 5},
+        ).collect()
+    }
+    assert sout == {(1, "STRING_TOO_SHORT"), (2, "STRING_TOO_LONG")}

@@ -130,6 +130,46 @@ def test_enum_and_const(spark):
     assert _codes(cout) == [("CONST_MISMATCH", "/s")]
 
 
+def test_composite_const_and_enum(spark):
+    """const/enum with OBJECT or ARRAY values compile on the Column path
+    (ADVICE r01: F.lit(dict) used to raise UNSUPPORTED_FEATURE.LITERAL_TYPE)
+    and agree with the pure-Python evaluator."""
+    from json_schema_py_spark.schema.model import normalize_schema as _norm
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    df = spark.createDataFrame(
+        [(1, (2, "x")), (2, (3, "x")), (3, None)],
+        "doc_id long, o struct<a:long,b:string>",
+    )
+    schema = {"properties": {"o": {"const": {"a": 2, "b": "x"}}}}
+    out = _codes(validate(df, schema))
+    assert out == [("CONST_MISMATCH", "/o")]
+    # pyeval agreement (presence semantics: null = absent, skipped)
+    rule = _norm(schema)
+    assert evaluate(rule, {"o": {"a": 2, "b": "x"}}, "") == []
+    assert [e[0] for e in evaluate(rule, {"o": {"a": 3, "b": "x"}}, "")] == [
+        "CONST_MISMATCH"
+    ]
+
+    # array-valued const; field-order robustness for enum objects
+    adf = spark.createDataFrame([(1, [1, 2]), (2, [2, 1])], "doc_id long, a array<long>")
+    aout = validate(adf, {"properties": {"a": {"const": [1, 2]}}})
+    assert [(r["doc_id"], r["rule_id"]) for r in aout.collect()] == [
+        (2, "CONST_MISMATCH")
+    ]
+    # enum value keys written in NON-schema order still match (renderer
+    # follows the struct's field order, as to_json does)
+    edf = spark.createDataFrame([(1, (2, "x"))], "doc_id long, o struct<a:long,b:string>")
+    assert (
+        validate(edf, {"properties": {"o": {"enum": [{"b": "x", "a": 2}]}}}).count()
+        == 0
+    )
+    # a const the column type cannot represent always mismatches when present
+    assert _codes(
+        validate(edf, {"properties": {"o": {"const": {"zz": 1}}}})
+    ) == [("CONST_MISMATCH", "/o")]
+
+
 # ----------------------------------------------------------- arrays
 
 
