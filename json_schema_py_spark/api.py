@@ -76,11 +76,15 @@ class JsonValidator:
                     [ValidationError(ErrorCode.REFERENCE_RESOLUTION_FAILED, "", str(e))],
                 )
             self._cache[key] = rule
-        violations = evaluate(rule, data, "")
-        errors = [
-            ValidationError(ErrorCode(code), path, _message(code, path, obs), obs)
-            for code, path, obs in violations
-        ]
+        violations = evaluate(rule, data, "", self.verbose)
+        errors = []
+        for code, path, obs in violations:
+            # verbose branch detail arrives as "allOf[0]:anyOf[1]:CODE" —
+            # the reference keeps error.code pure and prefixes the MESSAGE
+            # ("allOf[0]: ...", logical.py:98-103,206-222); split accordingly
+            *prefixes, base = code.split(":")
+            msg = "".join(f"{p}: " for p in prefixes) + _message(base, path, obs)
+            errors.append(ValidationError(ErrorCode(base), path, msg, obs))
         return ValidationResult(valid=not errors, errors=errors)
 
 

@@ -70,14 +70,30 @@ def _viol(code: str, path: Column, observed: Column) -> Column:
     )
 
 
-def _null_value_viols(rule: Rule) -> list:
+def _null_value_viols(rule: Rule, verbose: bool = False) -> list:
     """Violations a NULL JSON value produces under ``rule`` — a pure
     compile-time constant (no data dependency), folded via the Python
     evaluator. Used where null means a PRESENT null VALUE (array elements,
     map values) rather than an absent struct field."""
     from json_schema_py_spark.schema.pyeval import evaluate
 
-    return evaluate(rule, None, "")
+    return evaluate(rule, None, "", verbose)
+
+
+def _prefix_viols(arr: Column, prefix: str) -> Column:
+    """Re-emit a violations array with ``prefix`` prepended to every rule_id
+    (the reference prefixes branch-error MESSAGES, logical.py:98-103; rule_id
+    is this engine's message carrier — api.JsonValidator splits it back).
+    Paths stay DEEP (documented deviation: the reference truncates to the op
+    node; see pyeval.evaluate docstring)."""
+    return F.transform(
+        arr,
+        lambda x: F.struct(
+            F.concat(F.lit(prefix), x["rule_id"]).alias("rule_id"),
+            x["path"].alias("path"),
+            x["observed"].alias("observed"),
+        ),
+    ).cast(VIOLATION_TYPE)
 
 
 def _const_viols(vs: list, path: Column) -> Column:
@@ -259,7 +275,14 @@ def _never(col: Column) -> Column:
 
 
 class RuleBinder:
-    """Compiles a Rule tree against a Spark DataType into Bound closures."""
+    """Compiles a Rule tree against a Spark DataType into Bound closures.
+
+    ``verbose=True`` reproduces the reference's branch-detail reporting
+    (allOf[i]:/anyOf[i]: rule_id prefixes — see pyeval.evaluate docstring;
+    both engine paths emit identical verbose sequences)."""
+
+    def __init__(self, verbose: bool = False):
+        self.verbose = verbose
 
     def bind(self, rule: Rule, dtype: T.DataType) -> Bound:
         jt = json_type_of(dtype)
@@ -286,11 +309,14 @@ class RuleBinder:
                 lambda col: col.isNotNull(),
             )
 
-        checks: list[Check] = []
-        children: list[Bound] = []  # child closures already wired to this col
+        # ordered emitter sequence — Check (leaf) and Bound (child) entries
+        # interleave in the REFERENCE's emission order (pyeval.evaluate is
+        # the executable spec), so the violations array is order-exact, not
+        # just set-equal (reference: objects.py:74-187 fixed sequence)
+        seq: list[Any] = []
 
         def add(cond_fn, code: str, path_fn, obs_fn) -> None:
-            checks.append(
+            seq.append(
                 Check(
                     cond=cond_fn,
                     emit=lambda col, path, c=cond_fn, pf=path_fn, of=obs_fn, cd=code: _maybe(
@@ -473,14 +499,14 @@ class RuleBinder:
                         py_str(F.get(col, dup_i), el),
                     )
 
-                checks.append(Check(cond=unique_cond, emit=unique_emit))
+                seq.append(Check(cond=unique_cond, emit=unique_emit))
             if rule.items is not None:
                 item = self.bind(rule.items, el_dtype)
                 # a NULL array element is a present null VALUE (arrays are
                 # positional — no absence), validated per JSON semantics;
                 # its violations are compile-time constants
-                nv = _null_value_viols(rule.items)
-                children.append(
+                nv = _null_value_viols(rule.items, self.verbose)
+                seq.append(
                     Bound(
                         viol=lambda col, path, b=item, nv=nv: F.flatten(
                             F.transform(
@@ -501,17 +527,28 @@ class RuleBinder:
 
         # --- object on StructType (fixed keys) ---
         if jt == "object" and isinstance(dtype, T.StructType):
-            self._bind_object_struct(rule, dtype, checks, children, add)
+            self._bind_object_struct(rule, dtype, seq, add)
 
         # --- object on MapType (open keys) ---
         if jt == "object" and isinstance(dtype, T.MapType):
-            self._bind_object_map(rule, dtype, checks, children, add)
+            self._bind_object_map(rule, dtype, seq, add)
 
         # --- logical combinators (reference: json_schema/constraints/logical.py) ---
         if rule.all_of:
             branches = [self.bind(b, dtype) for b in rule.all_of]
-            for br in branches:  # all branches accumulate (logical.py:13-113)
-                children.append(br)
+            for i, br in enumerate(branches):  # all branches accumulate (logical.py:13-113)
+                if self.verbose:
+                    # reference prefixes each branch error (logical.py:98-103)
+                    seq.append(
+                        Bound(
+                            viol=lambda col, path, b=br, p=f"allOf[{i}]:": _prefix_viols(
+                                b.viol(col, path), p
+                            ),
+                            fires=br.fires,
+                        )
+                    )
+                else:
+                    seq.append(br)
 
         if rule.any_of:
             branches = [self.bind(b, dtype) for b in rule.any_of]
@@ -526,6 +563,19 @@ class RuleBinder:
             # success is silent; total failure emits one ANY_OF_NO_MATCH
             # (reference short-circuit: logical.py:187-192)
             add(any_of_cond, ErrorCode.ANY_OF_NO_MATCH.value, self_path, lambda col: F.lit(""))
+
+            if self.verbose:
+                # per-branch failure detail AFTER the no-match error
+                # (reference: logical.py:206-222)
+                def any_detail_viol(col: Column, path: Column, bs=branches) -> Column:
+                    parts = [
+                        _prefix_viols(b.viol(col, path), f"anyOf[{i}]:")
+                        for i, b in enumerate(bs)
+                    ]
+                    body = parts[0] if len(parts) == 1 else F.concat(*parts)
+                    return F.when(any_of_cond(col), body).otherwise(_empty())
+
+                seq.append(Bound(viol=any_detail_viol, fires=_never))
 
         if rule.one_of:
             branches = [self.bind(b, dtype) for b in rule.one_of]
@@ -559,7 +609,7 @@ class RuleBinder:
                     lambda x: x.isNotNull(),
                 )
 
-            children.append(
+            seq.append(
                 Bound(viol=one_of_viol, fires=lambda col: match_count(col) != 1)
             )
 
@@ -574,27 +624,39 @@ class RuleBinder:
                 lambda col: F.lit(""),
             )
 
-        # ---- assemble this node ----
+        # ---- assemble this node (emission order == pyeval order): runs of
+        # consecutive leaf checks collapse into ONE array+filter, child
+        # arrays concat in place ----
         def viol(col: Column, path: Column) -> Column:
             arrs: list[Column] = []
-            if checks:
-                arrs.append(
-                    F.filter(
-                        F.array(*[c.emit(col, path) for c in checks]).cast(VIOLATION_TYPE),
-                        lambda x: x.isNotNull(),
+            pending: list[Check] = []
+
+            def flush() -> None:
+                if pending:
+                    arrs.append(
+                        F.filter(
+                            F.array(*[c.emit(col, path) for c in pending]).cast(
+                                VIOLATION_TYPE
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
                     )
-                )
-            arrs.extend(c.viol(col, path) for c in children)
+                    pending.clear()
+
+            for item in seq:
+                if isinstance(item, Check):
+                    pending.append(item)
+                else:
+                    flush()
+                    arrs.append(item.viol(col, path))
+            flush()
             body = arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
             return F.when(col.isNull(), _empty()).otherwise(body)
 
         def fires(col: Column) -> Column:
             any_c: Optional[Column] = None
-            for c in checks:
-                f = c.cond(col)
-                any_c = f if any_c is None else (any_c | f)
-            for c in children:
-                f = c.fires(col)
+            for item in seq:
+                f = item.cond(col) if isinstance(item, Check) else item.fires(col)
                 any_c = f if any_c is None else (any_c | f)
             if any_c is None:
                 return F.lit(False)
@@ -608,8 +670,7 @@ class RuleBinder:
         self,
         rule: Rule,
         dtype: T.StructType,
-        checks: list[Check],
-        children: list[Bound],
+        seq: list[Any],
         add,
     ) -> None:
         """Object keywords over a fixed StructType. Keys are compile-time
@@ -692,7 +753,7 @@ class RuleBinder:
 
         for k, sub in sub_rules:
             b = self.bind(sub, fields[k])
-            children.append(
+            seq.append(
                 Bound(
                     viol=lambda col, path, k=k, b=b: b.viol(
                         col.getField(k), _child_path(path, k)
@@ -714,7 +775,7 @@ class RuleBinder:
             elif isinstance(ap, Rule):
                 for k in extra_keys:
                     b = self.bind(ap, fields[k])
-                    children.append(
+                    seq.append(
                         Bound(
                             viol=lambda col, path, k=k, b=b: b.viol(
                                 col.getField(k), _child_path(path, k)
@@ -729,8 +790,7 @@ class RuleBinder:
         self,
         rule: Rule,
         dtype: T.MapType,
-        checks: list[Check],
-        children: list[Bound],
+        seq: list[Any],
         add,
     ) -> None:
         """Object keywords over an open-keyed MapType — the dynamic-document
@@ -766,7 +826,7 @@ class RuleBinder:
             # runtime keys: validate each key AS a string value; underlying
             # codes surface at the key's path (reference behavior)
             nb = self.bind(rule.property_names, T.StringType())
-            children.append(
+            seq.append(
                 Bound(
                     viol=lambda col, path, b=nb: F.flatten(
                         F.transform(
@@ -784,8 +844,8 @@ class RuleBinder:
             # map values follow JSON semantics: a null VALUE under a present
             # key is validated as null (compile-time folded), unlike absent
             # struct fields
-            nv = _null_value_viols(sub)
-            children.append(
+            nv = _null_value_viols(sub, self.verbose)
+            seq.append(
                 Bound(
                     viol=lambda col, path, k=k, b=b, nv=nv: F.when(
                         F.map_contains_key(col, F.lit(k))
@@ -807,12 +867,12 @@ class RuleBinder:
         pattern_list = list(rule.pattern_properties.keys())
         for pat, sub in rule.pattern_properties.items():
             b = self.bind(sub, val_dtype)
-            nv = _null_value_viols(sub)
+            nv = _null_value_viols(sub, self.verbose)
 
             def pat_keys(col: Column, p=pat) -> Column:
                 return F.filter(F.map_keys(col), lambda k: k.rlike(p))
 
-            children.append(
+            seq.append(
                 Bound(
                     viol=lambda col, path, b=b, pk=pat_keys, nv=nv: F.flatten(
                         F.transform(
@@ -853,7 +913,7 @@ class RuleBinder:
                 return ks
 
             if ap is False:
-                children.append(
+                seq.append(
                     Bound(
                         viol=lambda col, path: F.transform(
                             extra_keys(col),
@@ -868,8 +928,8 @@ class RuleBinder:
                 )
             elif isinstance(ap, Rule):
                 b = self.bind(ap, val_dtype)
-                nv = _null_value_viols(ap)
-                children.append(
+                nv = _null_value_viols(ap, self.verbose)
+                seq.append(
                     Bound(
                         viol=lambda col, path, b=b, nv=nv: F.flatten(
                             F.transform(
@@ -900,7 +960,9 @@ class RuleBinder:
 # ---------------------------------------------------------------------- #
 
 
-def compile_ruleset(schema: Any, struct_type: T.StructType) -> Column:
+def compile_ruleset(
+    schema: Any, struct_type: T.StructType, verbose: bool = False
+) -> Column:
     """Compile a JSON-Schema-subset ruleset against a DataFrame schema.
 
     Returns a Column producing ``array<struct<rule_id,path,observed>>`` for a
@@ -913,7 +975,7 @@ def compile_ruleset(schema: Any, struct_type: T.StructType) -> Column:
     10^12 scale) never allocate a struct, a path string, or an array. The row
     is bound as a lambda variable so derived input columns are evaluated once."""
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
-    bound = RuleBinder().bind(rule, struct_type)
+    bound = RuleBinder(verbose=verbose).bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
     return F.get(
         F.transform(
@@ -935,17 +997,22 @@ def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
     return F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
 
 
-def with_violations(df: DataFrame, schema: Any, col_name: str = "violations") -> DataFrame:
+def with_violations(
+    df: DataFrame, schema: Any, col_name: str = "violations", verbose: bool = False
+) -> DataFrame:
     """Attach the violations array + per-row ``valid`` flag."""
     relevant = T.StructType([f for f in df.schema.fields])
-    v = compile_ruleset(schema, relevant)
+    v = compile_ruleset(schema, relevant, verbose=verbose)
     return df.withColumn(col_name, v).withColumn("valid", F.size(F.col(col_name)) == 0)
 
 
-def validate(df: DataFrame, schema: Any, key_col: str = "doc_id") -> DataFrame:
+def validate(
+    df: DataFrame, schema: Any, key_col: str = "doc_id", verbose: bool = False
+) -> DataFrame:
     """Exploded violation rows ``(doc_id, rule_id, path, observed)`` —
-    the engine's golden-output shape (FIXTURES.md §5)."""
-    vdf = with_violations(df, schema)
+    the engine's golden-output shape (FIXTURES.md §5). ``verbose`` adds the
+    reference's allOf[i]:/anyOf[i]: branch detail (rule_id-prefixed)."""
+    vdf = with_violations(df, schema, verbose=verbose)
     return (
         vdf.select(F.col(key_col).alias("doc_id"), F.explode("violations").alias("v"))
         .select(

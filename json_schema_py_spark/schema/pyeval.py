@@ -30,12 +30,17 @@ SURVEY.md's semantic analysis; file:line cites mark the behavior pinned):
 * anyOf silent success / single ANY_OF_NO_MATCH; oneOf double error on
   multiple match; not swallows inner errors (json_schema/constraints/logical.py)
 
-One DELIBERATE deviation, shared with the Column engine: a logical operator
-at a schema node does NOT suppress sibling keyword checks (the reference's
-Validator dispatches logical-op roots to their own validate only,
-json_schema/validator.py:46-48). Both engine paths validate everything, so
-they agree with each other; differential tests vs the reference avoid
-mixed nodes.
+One DELIBERATE deviation, shared with the Column engine: at a MIXED schema
+node (logical op + sibling keywords) the reference compiles only
+[bare type (+ required when type=='object'), first logical op by
+allOf>anyOf>oneOf>not priority] and SILENTLY DROPS every other sibling
+keyword — enum, bounds, properties subschemas
+(json_schema/schema_compiler.py:745-784; validator.py:46-48 dispatches pure
+logical roots). Both engine paths instead validate EVERY keyword at the
+node — a strict superset of the reference's verdicts. The relationship is
+exact and fuzz-asserted (test_fuzz_differential._strip_mixed): rewriting a
+mixed node to the reference's compiled shape makes this engine reproduce
+the reference bit-for-bit, mixed nodes included — no carve-out.
 """
 
 from __future__ import annotations
@@ -92,8 +97,22 @@ def _escape(k: str) -> str:
     return str(k).replace("~", "~0").replace("/", "~1")
 
 
-def evaluate(rule: Rule, value: Any, path: str = "") -> list[Violation]:
-    """All violations of ``rule`` for ``value`` (present, possibly-null)."""
+def evaluate(
+    rule: Rule, value: Any, path: str = "", verbose: bool = False
+) -> list[Violation]:
+    """All violations of ``rule`` for ``value`` (present, possibly-null).
+
+    ``verbose`` reproduces the reference's branch-detail reporting: allOf
+    branch errors re-emit with an ``allOf[i]:`` rule_id prefix (the
+    reference prefixes the MESSAGE, logical.py:98-103 — rule_id is this
+    engine's message carrier; api.JsonValidator splits the prefix back into
+    the message and keeps the code pure). A failed anyOf emits per-branch
+    details prefixed ``anyOf[i]:`` after ANY_OF_NO_MATCH (logical.py:206-222).
+    Prefixes chain for nested combinators. ONE documented deviation: the
+    reference's re-emission truncates branch-error paths to the op node
+    (add_error stamps the CONTEXT path, discarding the deeper pointer);
+    this engine keeps the DEEP pointer — strictly more informative, and the
+    reference path is always a prefix of ours (asserted in test_api_cli)."""
     out: list[Violation] = []
     t = py_type_of(value)
 
@@ -112,16 +131,23 @@ def evaluate(rule: Rule, value: Any, path: str = "") -> list[Violation]:
     if t in ("integer", "number") and not isinstance(value, bool):
         out.extend(_eval_number(rule, value, path))
     if t == "array":
-        out.extend(_eval_array(rule, value, path))
+        out.extend(_eval_array(rule, value, path, verbose))
     if t == "object":
-        out.extend(_eval_object(rule, value, path))
+        out.extend(_eval_object(rule, value, path, verbose))
 
     # logical combinators
-    for branch in rule.all_of:
-        out.extend(evaluate(branch, value, path))
+    for i, branch in enumerate(rule.all_of):
+        errs = evaluate(branch, value, path, verbose)
+        if verbose:
+            errs = [(f"allOf[{i}]:{c}", p, o) for c, p, o in errs]
+        out.extend(errs)
     if rule.any_of:
-        if all(evaluate(b, value, path) for b in rule.any_of):
+        branch_errs = [evaluate(b, value, path, verbose) for b in rule.any_of]
+        if all(branch_errs):
             out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
+            if verbose:
+                for i, errs in enumerate(branch_errs):
+                    out.extend((f"anyOf[{i}]:{c}", p, o) for c, p, o in errs)
     if rule.one_of:
         matches = [i for i, b in enumerate(rule.one_of) if not evaluate(b, value, path)]
         if len(matches) == 0:
@@ -187,7 +213,7 @@ def _eval_number(rule: Rule, v: float, path: str) -> list[Violation]:
     return out
 
 
-def _eval_array(rule: Rule, v: list, path: str) -> list[Violation]:
+def _eval_array(rule: Rule, v: list, path: str, verbose: bool = False) -> list[Violation]:
     out: list[Violation] = []
     if rule.min_items is not None and len(v) < rule.min_items:
         out.append((ErrorCode.ARRAY_TOO_SHORT.value, path, str(len(v))))
@@ -205,11 +231,11 @@ def _eval_array(rule: Rule, v: list, path: str) -> list[Violation]:
             seen[r] = i
     if rule.items is not None:
         for i, item in enumerate(v):
-            out.extend(evaluate(rule.items, item, f"{path}/{i}"))
+            out.extend(evaluate(rule.items, item, f"{path}/{i}", verbose))
     return out
 
 
-def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
+def _eval_object(rule: Rule, v: dict, path: str, verbose: bool = False) -> list[Violation]:
     out: list[Violation] = []
     n = len(v)
     # reference order: min/max properties → required → dependencies →
@@ -233,12 +259,12 @@ def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
                     )
     if rule.property_names is not None:
         for k in v:
-            out.extend(evaluate(rule.property_names, k, f"{path}/{_escape(k)}"))
+            out.extend(evaluate(rule.property_names, k, f"{path}/{_escape(k)}", verbose))
     matched: set = set()
     for k, sub in rule.properties.items():
         matched.add(k)
         if k in v:
-            out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}"))
+            out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose))
     for pat, sub in rule.pattern_properties.items():
         try:
             cre = re.compile(pat)
@@ -248,7 +274,7 @@ def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
             if cre.search(str(k)):
                 matched.add(k)
                 if k not in rule.properties:
-                    out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}"))
+                    out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose))
     ap = rule.additional_properties
     if ap is not None:
         matched |= set(rule.exempt_properties)  # sibling-branch escape hatch
@@ -264,7 +290,7 @@ def _eval_object(rule: Rule, v: dict, path: str) -> list[Violation]:
                 )
         elif isinstance(ap, Rule):
             for k in extras:
-                out.extend(evaluate(ap, v[k], f"{path}/{_escape(k)}"))
+                out.extend(evaluate(ap, v[k], f"{path}/{_escape(k)}", verbose))
     return out
 
 

@@ -1,6 +1,9 @@
 """Property-based agreement between the two engine paths: the Column-
 expression binder (production) and pyeval (parity evaluator) compile the
-SAME Rule model — on typed rows they must emit identical violation sets.
+SAME Rule model — on typed rows they must emit identical violation
+SEQUENCES (order-exact, the round-2 parity bar: pyeval emits in the
+reference's fixed keyword order, and the Column binder's emitter sequence
+mirrors it).
 
 Null convention bridged explicitly: the Column engine treats NULL as ABSENT
 (Parquet structs always carry every field); pyeval sees parsed JSON where
@@ -100,16 +103,16 @@ def test_column_engine_matches_pyeval(spark, batch, schema):
 
     data = [(i, *r) for i, r in enumerate(batch)]
     df = spark.createDataFrame(data, ROW_TYPE)
-    eng: dict[int, set] = {}
+    eng: dict[int, list] = {}
     for r in validate(df, schema, key_col="rk").collect():
-        eng.setdefault(r["doc_id"], set()).add((r["rule_id"], r["path"]))
+        eng.setdefault(r["doc_id"], []).append((r["rule_id"], r["path"]))
 
     rule = normalize_schema(schema)
     for i, row in enumerate(df.collect()):
         doc = _row_to_doc(row.asDict(recursive=True))
         doc.pop("rk", None)
-        expected = {(c, p) for c, p, _ in evaluate(rule, doc, "")}
-        got = eng.get(i, set())
+        expected = [(c, p) for c, p, _ in evaluate(rule, doc, "")]
+        got = eng.get(i, [])
         assert got == expected, f"row={doc} schema={schema}"
 
 
@@ -152,20 +155,31 @@ map_schemas = st.builds(
 def test_map_engine_matches_pyeval(spark, batch, schema):
     """Open-keyed objects (MapType) — runtime key machinery vs pyeval.
     Map VALUES keep JSON null semantics (present null), so only null MAPS
-    are dropped in the doc conversion."""
+    are dropped in the doc conversion.
+
+    Maps are built via from_json (document key order preserved — the
+    production ingestion path) rather than createDataFrame, whose py4j dict
+    conversion goes through a Java HashMap and scrambles key order; engine
+    emission order follows the STORED map order by design."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
     from json_schema_py_spark.schema.compiler import validate
     from json_schema_py_spark.schema.model import normalize_schema
     from json_schema_py_spark.schema.pyeval import evaluate
 
-    data = [(i, m) for i, m in enumerate(batch)]
-    df = spark.createDataFrame(data, MAP_ROW_TYPE)
-    eng: dict[int, set] = {}
+    data = [(i, None if m is None else _json.dumps(m)) for i, m in enumerate(batch)]
+    df = spark.createDataFrame(data, "rk long, mj string").select(
+        "rk", F.from_json("mj", "map<string,bigint>").alias("m")
+    )
+    eng: dict[int, list] = {}
     for r in validate(df, schema, key_col="rk").collect():
-        eng.setdefault(r["doc_id"], set()).add((r["rule_id"], r["path"]))
+        eng.setdefault(r["doc_id"], []).append((r["rule_id"], r["path"]))
 
     rule = normalize_schema(schema)
     for i, m in enumerate(batch):
         doc = {} if m is None else {"m": m}
-        expected = {(c, p) for c, p, _ in evaluate(rule, doc, "")}
-        got = eng.get(i, set())
+        expected = [(c, p) for c, p, _ in evaluate(rule, doc, "")]
+        got = eng.get(i, [])
         assert got == expected, f"map={m} schema={schema}"

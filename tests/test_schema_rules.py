@@ -364,3 +364,35 @@ def test_regex_dialect_warning(spark):
         warnings.simplefilter("always")
         validate(df, {"properties": {"s": {"pattern": "^doc-[0-9]+$"}}}).count()
     assert not any(issubclass(x.category, RegexDialectWarning) for x in w)
+
+
+def test_verbose_column_path_matches_pyeval(spark):
+    """validate(..., verbose=True): the Column engine emits the same
+    prefixed-rule_id branch detail SEQUENCE as pyeval verbose — allOf[i]:
+    prefixes, anyOf[i]: details after ANY_OF_NO_MATCH, chained when nested."""
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    schema = {
+        "properties": {
+            "v": {
+                "allOf": [
+                    {"anyOf": [{"minimum": 10}, {"multipleOf": 7}]},
+                    {"maximum": 100},
+                ]
+            }
+        }
+    }
+    df = spark.createDataFrame([(1, 5), (2, 14), (3, 300), (4, 70)], "doc_id long, v long")
+    got: dict[int, list] = {}
+    for r in validate(df, schema, verbose=True).collect():
+        got.setdefault(r["doc_id"], []).append((r["rule_id"], r["path"]))
+    rule = normalize_schema(schema)
+    for i, v in [(1, 5), (2, 14), (3, 300), (4, 70)]:
+        expected = [(c, p) for c, p, _ in evaluate(rule, {"v": v}, "", True)]
+        assert got.get(i, []) == expected, f"v={v}"
+    # doc 1 exercises the full chain: anyOf no-match inside allOf[0]
+    assert got[1] == [
+        ("allOf[0]:ANY_OF_NO_MATCH", "/v"),
+        ("allOf[0]:anyOf[0]:NUMBER_TOO_SMALL", "/v"),
+        ("allOf[0]:anyOf[1]:NUMBER_NOT_MULTIPLE", "/v"),
+    ]
