@@ -138,34 +138,65 @@ def minhash_lsh_pairs(
     skew risk; AQE skew-join splits them, and the verify step re-filters, so
     correctness never depends on bucket sizes.
 
-    Plan shape: band keys come out of ONE aggregate pass per side
-    (_band_keys), fanned out by posexplode — the generator argument is
-    evaluated once per row, so the whole map stage costs ~2 shingle passes
-    per side regardless of num_hashes/bands. At 10^12 docs the sigs
-    projection is what you'd persist/bucket on the lake; here both join
-    branches just recompute it."""
+    Shuffle diet (round-2): the band-exploded exchange carries (band, bkey,
+    id) ONLY — never the shingle payload (round-1 shipped the full shingle
+    set ×bands through the shuffle). Shingles re-attach to the surviving
+    candidate PAIRS via two broadcast joins of the (tiny) candidate-id set
+    against the un-shuffled shingle projection, then one candidate-sized
+    shuffle zips sh_a with sh_b. The full table is never shuffled with its
+    payload; asserted in tests/test_plan_shapes.py.
+
+    Plan shape: band keys come out of ONE aggregate pass (_band_keys),
+    fanned out by posexplode — the generator argument is evaluated once per
+    row. At 10^12 docs the sigs projection is what you'd persist/bucket on
+    the lake; here both join branches just recompute it."""
     sh = word_shingles(F.col(text_col), shingle_k)
-    banded = ensure_parallelism(df).select(
+    base = ensure_parallelism(df)
+    banded = base.select(
         F.col(id_col).alias("id"),
-        sh.alias("shingles"),
         F.posexplode(_band_keys(sh, num_hashes, bands)).alias("band", "bkey"),
     )
-
-    left = banded.select("band", "bkey", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    right = banded.select("band", "bkey", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     cand = (
-        left.join(right, ["band", "bkey"])
+        banded.select("band", "bkey", F.col("id").alias("id_a"))
+        .join(banded.select("band", "bkey", F.col("id").alias("id_b")), ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_df = base.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    pa = sh_df.join(F.broadcast(cand), F.col("id") == F.col("id_a")).select(
+        "id_a", "id_b", F.col("shingles").alias("sh_a")
+    )
+    pb = sh_df.join(F.broadcast(cand), F.col("id") == F.col("id_b")).select(
+        "id_a", "id_b", F.col("shingles").alias("sh_b")
+    )
     return (
-        cand.select(
+        pa.join(pb, ["id_a", "id_b"])
+        .select(
             "id_a",
             "id_b",
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_blocked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    bucket_by_token_count: bool,
+) -> DataFrame:
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        (
+            (F.size(tokens(F.col(text_col))) / 16).cast("int")
+            if bucket_by_token_count
+            else F.lit(0)
+        ).alias("lb"),
     )
 
 
@@ -176,17 +207,30 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     bucket_by_token_count: bool = True,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, blocked by token-count bucket
     (similar docs have similar lengths; all-pairs across the table is never
-    run — each bucket is a bounded self-join)."""
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-        (F.size(tokens(F.col(text_col))) / 16).cast("int").alias("lb"),
-    )
-    if not bucket_by_token_count:
-        base = base.withColumn("lb", F.lit(0))
+    run — each bucket is a self-join).
+
+    SCALE CONTRACT (round-2): the token-count bucket alone does NOT bound
+    bucket size — one dominant length band degenerates to an intra-bucket
+    cross product. This operator is therefore the EXACT-VERIFICATION
+    primitive; near-dup discovery at 10^12 docs routes through
+    minhash_lsh_pairs (bounded banded buckets + this exact check on
+    candidates only). For standalone use, ``max_bucket_rows`` enforces a
+    hard bound: buckets larger than the cap are EXCLUDED from the join
+    (pair work ≤ n_buckets × C(cap, 2)); audit the exclusions with
+    ngram_jaccard_oversized_buckets and sweep them via LSH."""
+    base = _ngram_blocked(df, text_col, id_col, shingle_k, bucket_by_token_count)
+    if max_bucket_rows is not None:
+        ok = (
+            base.groupBy("lb")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .where(F.col("_bc") <= max_bucket_rows)
+            .select("lb")
+        )
+        base = base.join(F.broadcast(ok), "lb")
     a = base.select(F.col("lb"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("lb"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -196,6 +240,25 @@ def ngram_jaccard_pairs(
             "id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    bucket_by_token_count: bool = True,
+    max_bucket_rows: int = 1000,
+) -> DataFrame:
+    """(lb, cnt) for every blocking bucket ngram_jaccard_pairs would DROP at
+    ``max_bucket_rows`` — the audit trail for the capped run (log/alert on
+    these, then sweep the dropped bands with minhash_lsh_pairs)."""
+    base = _ngram_blocked(df, text_col, id_col, shingle_k, bucket_by_token_count)
+    return (
+        base.groupBy("lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > max_bucket_rows)
     )
 
 

@@ -159,13 +159,57 @@ def ann_lsh_topk(
     )
 
 
-def _centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str) -> list[list[float]]:
-    """Deterministic centroids: the first n_cells vectors by id. A production
-    deployment trains k-means (one cached sample + a few Arrow-batched
-    Lloyd's iterations); deterministic picks keep the sandbox reproducible
-    and exercise the identical physical plan."""
+def _centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    train_iters: int = 0,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Deterministic centroids, optionally k-means-trained.
+
+    ``train_iters=0``: the first n_cells vectors by id (reproducible,
+    arbitrary — cells end up unbalanced). ``train_iters>0``: Lloyd
+    refinement — each iteration is ONE distributed job (cosine-assign each
+    sampled vector to its cell, per-dimension mean via posexplode groupBy);
+    only n_cells×dim aggregate rows ever reach the driver. ``sample_mod=k``
+    trains on the deterministic 1/k hash-sample instead of the full corpus —
+    the production shape at 10^12 rows (train on a sample, assign the full
+    corpus once). Fully deterministic: no RNG anywhere."""
     rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    return [[float(x) for x in r[0]] for r in rows]
+    cents = [[float(x) for x in r[0]] for r in rows]
+    if train_iters <= 0:
+        return cents
+    sample = corpus
+    if sample_mod and sample_mod > 1:
+        sample = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+        )
+    sample = sample.select(F.col(vec_col).alias("v")).cache()
+    try:
+        dim = len(cents[0])
+        for _ in range(train_iters):
+            cell = F.array_max(_cell_scores(F.col("v"), cents))["cell"]
+            # two-step select: mixing a generator (posexplode) with struct-
+            # field access in ONE select trips Spark 4's field resolution
+            # (FIELD_NOT_FOUND against the generator's col1/col2)
+            means = (
+                sample.select(cell.alias("cell"), "v")
+                .select("cell", F.posexplode("v").alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            got = {(r["cell"], r["i"]): float(r["m"]) for r in means}
+            # empty cells keep their previous centroid (deterministic)
+            cents = [
+                [got.get((c, i), cents[c][i]) for i in range(dim)]
+                for c in range(len(cents))
+            ]
+    finally:
+        sample.unpersist()
+    return cents
 
 
 def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
@@ -189,13 +233,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    train_iters: int = 0,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are inverted-file-bucketed by nearest
     centroid; each query probes its ``n_probe`` closest cells. The corpus
     side is assigned ONCE (at scale: a bucketBy/partitionBy column on the
-    lake); only probed cells are scanned per query. Recall knob = n_probe
-    (n_probe == n_cells degenerates to brute force)."""
-    cents = _centroids(corpus, n_cells, id_col, vec_col)
+    lake); only probed cells are scanned per query. Recall knobs: n_probe
+    (== n_cells degenerates to brute force) and ``train_iters`` — a few
+    deterministic Lloyd iterations balance the cells and lift recall at
+    equal probe cost (asserted in tests/test_dedup_similarity.py)."""
+    cents = _centroids(corpus, n_cells, id_col, vec_col, train_iters, sample_mod)
 
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),

@@ -149,3 +149,87 @@ def test_ivf_topk_recall_and_determinism(spark):
         for r in brute_force_topk(e, q, k=5).collect()
     }
     assert full == bf  # probing every cell == brute force
+
+
+def test_ivf_trained_centroids_lift_recall_on_clustered_data(spark):
+    """A few deterministic Lloyd iterations beat first-N centroids at equal
+    n_probe when the corpus is CLUSTERED (on the isotropic synthetic
+    embeddings both are equivalent — cells are already balanced; measured
+    this round). Fully deterministic: same centroids on every run."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.similarity import (
+        _centroids,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    dim = 16
+    ids = spark.range(600).select(F.col("id").cast("long").alias("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.when((F.col("vec_id") / 100).cast("int") == i, F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.pmod(F.xxhash64(F.col("vec_id") * dim + i), F.lit(100)).cast("double") / 500.0
+        ).cast("float"),
+    )
+    e = ids.select("vec_id", vec.alias("embedding")).cache()
+    q = e.where(F.pmod(F.col("vec_id"), F.lit(97)) == 3)
+    truth = set(
+        map(tuple, brute_force_topk(e, q, k=5).select("query_id", "neighbor_id").collect())
+    )
+
+    def recall(train_iters):
+        a = set(
+            map(
+                tuple,
+                ivf_topk(
+                    e, q, dim=dim, k=5, n_cells=8, n_probe=2, train_iters=train_iters
+                ).select("query_id", "neighbor_id").collect(),
+            )
+        )
+        return len(truth & a) / len(truth)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 > r0, f"trained={r3} untrained={r0}"
+    assert r3 > 0.9
+
+    # determinism: identical centroids across runs
+    c1 = _centroids(e, 8, "vec_id", "embedding", train_iters=3)
+    c2 = _centroids(e, 8, "vec_id", "embedding", train_iters=3)
+    assert c1 == c2
+    e.unpersist()
+
+
+def test_ngram_jaccard_bucket_cap_bounds_skewed_band(spark):
+    """One dominant length band must NOT degenerate to an intra-bucket cross
+    product: with max_bucket_rows the oversized band is excluded (audited via
+    ngram_jaccard_oversized_buckets), small bands still produce their pairs."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.dedup import (
+        ngram_jaccard_oversized_buckets,
+        ngram_jaccard_pairs,
+    )
+
+    # 400 docs of identical token count (dominant band, all near-dup) + 4
+    # short docs forming one small band with an exact dup pair
+    words = " ".join(f"w{i}" for i in range(20))  # 21 tokens → length band 1
+    big = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(words + " id"), F.col("id").cast("string")).alias("text"),
+    )
+    small = spark.createDataFrame(
+        [(1000, "tiny pair one"), (1001, "tiny pair one"), (1002, "other short"), (1003, "non dup")],
+        "doc_id long, text string",
+    )
+    df = big.unionByName(small)
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_bucket_rows=50)
+    pairs = capped.collect()
+    # the dominant band (400 docs → 79800 raw pairs) is excluded; only the
+    # small band's dup pair survives
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1000, 1001)}
+
+    dropped = ngram_jaccard_oversized_buckets(df, max_bucket_rows=50).collect()
+    assert len(dropped) == 1 and dropped[0]["cnt"] == 400

@@ -124,3 +124,29 @@ def test_no_python_udfs_in_hot_paths(spark):
     ]
     for p in plans:
         assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_lsh_band_exchange_carries_ids_only(spark):
+    """minhash_lsh_pairs shuffle diet (round-2): the band-bucket exchange
+    ships (band, bkey, id) only — the shingle payload must never ride a
+    shuffle of the full table. Shingles re-attach to candidates via
+    broadcast joins."""
+    from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+    from json_schema_py_spark.sources.synth import spans_documents  # noqa: F401
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(minhash_lsh_pairs(docs))
+    # every hash-partitioned exchange on the band key must not project shingles
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band" in line:
+            assert "shingles" not in line, line
+    # the candidate re-attach is a broadcast (full table never shuffled by id)
+    assert "BroadcastHashJoin" in plan
+    # no exchange anywhere in the plan carries a shingles projection
+    exchanging = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "shingles" in l
+    ]
+    # the only allowed shingle-bearing exchange is the candidate-pair zip
+    # (id_a, id_b) — bounded by candidate count, not table size
+    for l in exchanging:
+        assert "id_a" in l and "id_b" in l, f"table-sized shingle shuffle: {l}"
