@@ -85,6 +85,16 @@ def q_validate_media_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(spans_documents(spark, sf_dir), MEDIA_DEPENDENCY_RULESET)
 
 
+def q_validate_media_dep_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 verbose mode on the Column path: a failed anyOf emits
+    per-branch anyOf[i]:-prefixed details after ANY_OF_NO_MATCH (reference
+    logical.py:206-222)."""
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.sources.synth import MEDIA_DEPENDENCY_RULESET, spans_documents
+
+    return validate(spans_documents(spark, sf_dir), MEDIA_DEPENDENCY_RULESET, verbose=True)
+
+
 def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.schema.compiler import with_violations
     from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
@@ -318,6 +328,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence equality (BASELINE input_hint invariant), gate-checked:
+    reverse the span arrays of residue-11 docs (an unused plant class) and
+    assert sequence_mismatches reports exactly those docs from both sides —
+    order-SENSITIVE detection, no false positives on untouched docs."""
+    from json_schema_py_spark.operators.spans import sequence_mismatches
+    from json_schema_py_spark.sources.synth import spans_documents
+
+    before = spans_documents(spark, sf_dir)
+    after = before.withColumn(
+        "spans",
+        F.when(F.col("src_id") % 101 == 11, F.reverse("spans")).otherwise(
+            F.col("spans")
+        ),
+    )
+    return sequence_mismatches(before, after).select("doc_id", "n_spans", "side")
+
+
 def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.sessions import out_of_order_events
 
@@ -470,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_documents": q_validate_documents,
         "q_validate_media_dep": q_validate_media_dep,
+        "q_validate_media_dep_verbose": q_validate_media_dep_verbose,
         "q_doc_verdicts": q_doc_verdicts,
         "q_uniqueness": q_uniqueness,
         "q_referential": q_referential,
@@ -491,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_json_typed": q_validate_json_typed,
         "q_validate_json_exact": q_validate_json_exact,
         "q_sessionize": q_sessionize,
+        "q_span_sequence": q_span_sequence,
         "q_out_of_order": q_out_of_order,
         # approximate ops, gated via error-bound / recall-bound oracles:
         "q_sketches": q_sketches,
@@ -575,6 +605,18 @@ SELECT NULL, 'REQUIRED_PROPERTY_MISSING', '/doc_id', 'None' FROM ids WHERE p = 8
         "q_validate_media_dep": _IDS_CTE + """
 SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
 FROM ids WHERE p = 6
+""",
+        # verbose adds the two branch-failure details for each plant-6 span
+        # (branch 0: kind 'media' fails the text enum; branch 1: media_ref is
+        # the planted NULL → required fails). Deep pointers kept (documented
+        # deviation from the reference's path truncation).
+        "q_validate_media_dep_verbose": _IDS_CTE + """
+SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
+FROM ids WHERE p = 6
+UNION ALL
+SELECT did, 'anyOf[0]:ENUM_MISMATCH', '/spans/0/kind', 'media' FROM ids WHERE p = 6
+UNION ALL
+SELECT did, 'anyOf[1]:REQUIRED_PROPERTY_MISSING', '/spans/0/media_ref', 'None' FROM ids WHERE p = 6
 """,
         "q_doc_verdicts": _IDS_CTE + """
 SELECT i AS src_id,
@@ -789,6 +831,14 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end
 FROM s2 GROUP BY user_id, session_seq
+""",
+        # residue-11 docs with >1 span (i%4 != 0 → n_spans = i%4+1 > 1) get a
+        # reversed sequence → reported from BOTH snapshots; single-span docs
+        # reverse to themselves → no row (order-sensitivity, no false hits)
+        "q_span_sequence": _IDS_CTE + """
+SELECT did AS doc_id, (i % 4 + 1)::INT AS n_spans, s.side
+FROM ids, (SELECT 'before' AS side UNION ALL SELECT 'after') s
+WHERE p = 11 AND i % 4 <> 0
 """,
         "q_out_of_order": """
 SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts FROM (

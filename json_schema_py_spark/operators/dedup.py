@@ -141,10 +141,12 @@ def minhash_lsh_pairs(
     Shuffle diet (round-2): the band-exploded exchange carries (band, bkey,
     id) ONLY — never the shingle payload (round-1 shipped the full shingle
     set ×bands through the shuffle). Shingles re-attach to the surviving
-    candidate PAIRS via two broadcast joins of the (tiny) candidate-id set
-    against the un-shuffled shingle projection, then one candidate-sized
-    shuffle zips sh_a with sh_b. The full table is never shuffled with its
-    payload; asserted in tests/test_plan_shapes.py.
+    candidate PAIRS with ONE broadcast join: the candidate set is exploded
+    to (id_a, id_b, id∈{a,b}) rows, joined against the un-shuffled shingle
+    projection, and a single candidate-sized aggregation zips sh_a with
+    sh_b. The candidate subtree is evaluated once (it lives inside the
+    broadcast), and the full table is never shuffled with its payload;
+    asserted in tests/test_plan_shapes.py.
 
     Plan shape: band keys come out of ONE aggregate pass (_band_keys),
     fanned out by posexplode — the generator argument is evaluated once per
@@ -165,15 +167,20 @@ def minhash_lsh_pairs(
     )
 
     sh_df = base.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-    pa = sh_df.join(F.broadcast(cand), F.col("id") == F.col("id_a")).select(
-        "id_a", "id_b", F.col("shingles").alias("sh_a")
+    cand_sides = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
-    pb = sh_df.join(F.broadcast(cand), F.col("id") == F.col("id_b")).select(
-        "id_a", "id_b", F.col("shingles").alias("sh_b")
+    attached = sh_df.join(F.broadcast(cand_sides), "id")
+    pairs = attached.groupBy("id_a", "id_b").agg(
+        F.first(
+            F.when(F.col("id") == F.col("id_a"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("id") == F.col("id_b"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_b"),
     )
     return (
-        pa.join(pb, ["id_a", "id_b"])
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),

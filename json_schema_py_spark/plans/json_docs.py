@@ -108,6 +108,67 @@ def validate_json_typed(
     )
 
 
+def _iter_patterns(rule: Rule):
+    """Every regex the Column path would run under java.util.regex: string
+    ``pattern`` keywords, patternProperties KEYS, recursively."""
+    if rule.pattern is not None:
+        yield rule.pattern
+    for pat in rule.pattern_properties:
+        yield pat
+    subs = (
+        list(rule.properties.values())
+        + list(rule.pattern_properties.values())
+        + rule.all_of
+        + rule.any_of
+        + rule.one_of
+    )
+    for opt in (rule.items, rule.not_, rule.property_names):
+        if opt is not None:
+            subs.append(opt)
+    if isinstance(rule.additional_properties, Rule):
+        subs.append(rule.additional_properties)
+    for sub in subs:
+        yield from _iter_patterns(sub)
+
+
+def ruleset_needs_cpython_regex(schema: Any) -> bool:
+    """True when any pattern in the ruleset is NOT faithfully expressible
+    under java.util.regex even after mechanical translation (named groups
+    etc. translate; \\Z, possessive quantifiers, inline a/L/u flags don't) —
+    such rulesets must run on the CPython path for bit-exact semantics
+    (SURVEY §9.5 audit, now an automatic router)."""
+    from json_schema_py_spark.schema.regex_dialect import (
+        java_compile_ok,
+        portability_issues,
+        to_java_pattern,
+    )
+
+    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+    for pat in _iter_patterns(rule):
+        try:
+            import re as _re
+
+            _re.compile(pat)
+        except _re.error:
+            continue  # invalid under Python too → lazy SCHEMA_INVALID on either path
+        translated = to_java_pattern(pat)
+        if portability_issues(translated) or java_compile_ok(translated) is False:
+            return True
+    return False
+
+
+def validate_json_auto(
+    df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
+) -> DataFrame:
+    """Dialect-aware router: the typed Column path (whole-stage codegen)
+    whenever every pattern survives the Java-regex audit, else the exact
+    CPython pandas path — a ruleset can never silently validate differently
+    because of a regex dialect corner."""
+    if ruleset_needs_cpython_regex(schema):
+        return validate_json_exact(df, json_col, schema, key_col)
+    return validate_json_typed(df, json_col, schema, key_col)
+
+
 def validate_json_exact(
     df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
 ) -> DataFrame:

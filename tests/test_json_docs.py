@@ -127,3 +127,36 @@ def test_scalar_rooted_schema_typed(spark):
         ).collect()
     }
     assert sout == {(1, "STRING_TOO_SHORT"), (2, "STRING_TOO_LONG")}
+
+
+def test_auto_router_picks_path_by_regex_dialect(spark):
+    """validate_json_auto: Java-expressible patterns stay on the codegen
+    typed path (no Python in the plan); a \\Z-style CPython-only pattern
+    routes to the exact pandas path (SURVEY §9.5 → automatic)."""
+    from json_schema_py_spark.plans.json_docs import (
+        ruleset_needs_cpython_regex,
+        validate_json_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"name": "abc"}'), (2, '{"name": "zz"}')], "doc_id long, payload string"
+    )
+    portable = {"type": "object", "properties": {"name": {"pattern": "^a"}}}
+    cpython_only = {"type": "object", "properties": {"name": {"pattern": "abc\\Z"}}}
+    named_group = {"type": "object", "properties": {"name": {"pattern": "(?P<g>a)b"}}}
+
+    assert not ruleset_needs_cpython_regex(portable)
+    assert ruleset_needs_cpython_regex(cpython_only)
+    # named groups translate mechanically → typed path is still exact
+    assert not ruleset_needs_cpython_regex(named_group)
+
+    typed_plan = validate_json_auto(df, "payload", portable)._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in typed_plan and "EvalPython" not in typed_plan
+    exact_plan = validate_json_auto(df, "payload", cpython_only)._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in exact_plan
+
+    out = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate_json_auto(df, "payload", cpython_only).collect()
+    }
+    assert out == {(2, "PATTERN_MISMATCH")}
