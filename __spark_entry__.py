@@ -314,6 +314,16 @@ def q_validate_json_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_exact(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
 
 
+def q_validate_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2: Spark 4 VariantType dynamic-JSON path — per-value runtime
+    typing (exact-path semantics) fully JVM-side; fourth independent engine
+    path against the same oracle."""
+    from json_schema_py_spark.plans.json_variant import validate_json_variant
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return validate_json_variant(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.sessions import session_stats
 
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_events_props": q_validate_events_props,
         "q_validate_json_typed": q_validate_json_typed,
         "q_validate_json_exact": q_validate_json_exact,
+        "q_validate_json_variant": q_validate_json_variant,
         "q_sessionize": q_sessionize,
         "q_span_sequence": q_span_sequence,
         "q_out_of_order": q_out_of_order,
@@ -812,6 +823,11 @@ SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
 """,
         "q_validate_json_exact": """
+SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
+  (props::JSON ->> 'k') AS observed
+FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        "q_validate_json_variant": """
 SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
   (props::JSON ->> 'k') AS observed
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50

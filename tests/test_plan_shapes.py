@@ -150,3 +150,36 @@ def test_lsh_band_exchange_carries_ids_only(spark):
     # (id_a, id_b) — bounded by candidate count, not table size
     for l in exchanging:
         assert "id_a" in l and "id_b" in l, f"table-sized shingle shuffle: {l}"
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """The 100 TB co-location doctrine made concrete: two tables bucketed on
+    doc_id join WITHOUT any Exchange — the shuffle happened once at write
+    time (bucketBy), every later join/agg on the key reuses it. This is the
+    lake layout the uniqueness/FK checks assume for repeated runs."""
+    import uuid
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    other = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    ta, tb = f"bkt_a_{uuid.uuid4().hex[:8]}", f"bkt_b_{uuid.uuid4().hex[:8]}"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast: at lake scale BOTH sides are huge — the point is
+        # the shuffle-free SMJ over pre-bucketed layouts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(ta)
+        other.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "doc_id")
+        plan = _physical(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == docs.count()
+        # and a key-aggregation over one bucketed table also skips the shuffle
+        agg_plan = _physical(
+            spark.table(ta).groupBy("doc_id").agg(F.count(F.lit(1)))
+        )
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
