@@ -53,8 +53,13 @@ class JsonValidator:
     measured 5.8x slower than compile-once), the compiled rule tree is cached
     per schema identity."""
 
-    def __init__(self, verbose: bool = False):
+    def __init__(self, verbose: bool = False, truncate_branch_paths: bool = False):
+        """``truncate_branch_paths=True`` opts the verbose branch details
+        into the reference's exact path-truncating re-emission (errors land
+        at the logical-op node, not the deep pointer) — bit-identical
+        error paths; default keeps the deep pointer (see pyeval.evaluate)."""
         self.verbose = verbose
+        self.truncate_branch_paths = truncate_branch_paths
         self._cache: dict[str, Any] = {}
 
     def validate(self, data: Any, schema: dict) -> ValidationResult:
@@ -76,7 +81,9 @@ class JsonValidator:
                     [ValidationError(ErrorCode.REFERENCE_RESOLUTION_FAILED, "", str(e))],
                 )
             self._cache[key] = rule
-        violations = evaluate(rule, data, "", self.verbose)
+        violations = evaluate(
+            rule, data, "", self.verbose, self.truncate_branch_paths
+        )
         errors = []
         for code, path, obs in violations:
             # verbose branch detail arrives as "allOf[0]:anyOf[1]:CODE" —

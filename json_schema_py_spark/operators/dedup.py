@@ -128,6 +128,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH,
     verified with exact Jaccard ≥ threshold.
@@ -170,7 +171,13 @@ def minhash_lsh_pairs(
     cand_sides = cand.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
-    attached = sh_df.join(F.broadcast(cand_sides), "id")
+    # broadcast assumes candidates ≪ table (the normal regime); for
+    # pathological near-dup-dense corpora pass broadcast_candidates=False —
+    # a plain shuffle join on id, still bounded by the candidate count on
+    # the pair side
+    if broadcast_candidates:
+        cand_sides = F.broadcast(cand_sides)
+    attached = sh_df.join(cand_sides, "id")
     pairs = attached.groupBy("id_a", "id_b").agg(
         F.first(
             F.when(F.col("id") == F.col("id_a"), F.col("shingles")), ignorenulls=True

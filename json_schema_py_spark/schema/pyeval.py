@@ -98,7 +98,11 @@ def _escape(k: str) -> str:
 
 
 def evaluate(
-    rule: Rule, value: Any, path: str = "", verbose: bool = False
+    rule: Rule,
+    value: Any,
+    path: str = "",
+    verbose: bool = False,
+    truncate_branch_paths: bool = False,
 ) -> list[Violation]:
     """All violations of ``rule`` for ``value`` (present, possibly-null).
 
@@ -108,11 +112,13 @@ def evaluate(
     engine's message carrier; api.JsonValidator splits the prefix back into
     the message and keeps the code pure). A failed anyOf emits per-branch
     details prefixed ``anyOf[i]:`` after ANY_OF_NO_MATCH (logical.py:206-222).
-    Prefixes chain for nested combinators. ONE documented deviation: the
+    Prefixes chain for nested combinators. ONE default deviation: the
     reference's re-emission truncates branch-error paths to the op node
     (add_error stamps the CONTEXT path, discarding the deeper pointer);
-    this engine keeps the DEEP pointer — strictly more informative, and the
-    reference path is always a prefix of ours (asserted in test_api_cli)."""
+    this engine keeps the DEEP pointer by default — strictly more
+    informative, and the reference path is always a prefix of ours
+    (asserted in test_api_cli). ``truncate_branch_paths=True`` opts into
+    the reference's exact truncating behavior for bit-identical paths."""
     out: list[Violation] = []
     t = py_type_of(value)
 
@@ -131,23 +137,32 @@ def evaluate(
     if t in ("integer", "number") and not isinstance(value, bool):
         out.extend(_eval_number(rule, value, path))
     if t == "array":
-        out.extend(_eval_array(rule, value, path, verbose))
+        out.extend(_eval_array(rule, value, path, verbose, truncate_branch_paths))
     if t == "object":
-        out.extend(_eval_object(rule, value, path, verbose))
+        out.extend(_eval_object(rule, value, path, verbose, truncate_branch_paths))
 
     # logical combinators
     for i, branch in enumerate(rule.all_of):
-        errs = evaluate(branch, value, path, verbose)
+        errs = evaluate(branch, value, path, verbose, truncate_branch_paths)
         if verbose:
-            errs = [(f"allOf[{i}]:{c}", p, o) for c, p, o in errs]
+            errs = [
+                (f"allOf[{i}]:{c}", path if truncate_branch_paths else p, o)
+                for c, p, o in errs
+            ]
         out.extend(errs)
     if rule.any_of:
-        branch_errs = [evaluate(b, value, path, verbose) for b in rule.any_of]
+        branch_errs = [
+            evaluate(b, value, path, verbose, truncate_branch_paths)
+            for b in rule.any_of
+        ]
         if all(branch_errs):
             out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
             if verbose:
                 for i, errs in enumerate(branch_errs):
-                    out.extend((f"anyOf[{i}]:{c}", p, o) for c, p, o in errs)
+                    out.extend(
+                        (f"anyOf[{i}]:{c}", path if truncate_branch_paths else p, o)
+                        for c, p, o in errs
+                    )
     if rule.one_of:
         matches = [i for i, b in enumerate(rule.one_of) if not evaluate(b, value, path)]
         if len(matches) == 0:
@@ -213,7 +228,9 @@ def _eval_number(rule: Rule, v: float, path: str) -> list[Violation]:
     return out
 
 
-def _eval_array(rule: Rule, v: list, path: str, verbose: bool = False) -> list[Violation]:
+def _eval_array(
+    rule: Rule, v: list, path: str, verbose: bool = False, tbp: bool = False
+) -> list[Violation]:
     out: list[Violation] = []
     if rule.min_items is not None and len(v) < rule.min_items:
         out.append((ErrorCode.ARRAY_TOO_SHORT.value, path, str(len(v))))
@@ -231,11 +248,13 @@ def _eval_array(rule: Rule, v: list, path: str, verbose: bool = False) -> list[V
             seen[r] = i
     if rule.items is not None:
         for i, item in enumerate(v):
-            out.extend(evaluate(rule.items, item, f"{path}/{i}", verbose))
+            out.extend(evaluate(rule.items, item, f"{path}/{i}", verbose, tbp))
     return out
 
 
-def _eval_object(rule: Rule, v: dict, path: str, verbose: bool = False) -> list[Violation]:
+def _eval_object(
+    rule: Rule, v: dict, path: str, verbose: bool = False, tbp: bool = False
+) -> list[Violation]:
     out: list[Violation] = []
     n = len(v)
     # reference order: min/max properties → required → dependencies →
@@ -259,12 +278,12 @@ def _eval_object(rule: Rule, v: dict, path: str, verbose: bool = False) -> list[
                     )
     if rule.property_names is not None:
         for k in v:
-            out.extend(evaluate(rule.property_names, k, f"{path}/{_escape(k)}", verbose))
+            out.extend(evaluate(rule.property_names, k, f"{path}/{_escape(k)}", verbose, tbp))
     matched: set = set()
     for k, sub in rule.properties.items():
         matched.add(k)
         if k in v:
-            out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose))
+            out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose, tbp))
     for pat, sub in rule.pattern_properties.items():
         try:
             cre = re.compile(pat)
@@ -274,7 +293,7 @@ def _eval_object(rule: Rule, v: dict, path: str, verbose: bool = False) -> list[
             if cre.search(str(k)):
                 matched.add(k)
                 if k not in rule.properties:
-                    out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose))
+                    out.extend(evaluate(sub, v[k], f"{path}/{_escape(k)}", verbose, tbp))
     ap = rule.additional_properties
     if ap is not None:
         matched |= set(rule.exempt_properties)  # sibling-branch escape hatch
@@ -290,7 +309,7 @@ def _eval_object(rule: Rule, v: dict, path: str, verbose: bool = False) -> list[
                 )
         elif isinstance(ap, Rule):
             for k in extras:
-                out.extend(evaluate(ap, v[k], f"{path}/{_escape(k)}", verbose))
+                out.extend(evaluate(ap, v[k], f"{path}/{_escape(k)}", verbose, tbp))
     return out
 
 

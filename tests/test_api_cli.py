@@ -214,3 +214,45 @@ def test_verbose_default_off_matches_round1_shape():
         5, {"anyOf": [{"type": "string"}, {"type": "integer", "minimum": 10}]}
     )
     assert [e.code.name for e in r.errors] == ["ANY_OF_NO_MATCH"]
+
+
+def test_verbose_truncated_paths_bit_identical_to_reference():
+    """truncate_branch_paths=True: verbose branch errors carry the
+    reference's EXACT (code, path, prefix) — including the op-node path
+    truncation the default mode deliberately improves on."""
+    import re as _re
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from json_schema.api import JsonValidator as RefValidator
+
+    from json_schema_py_spark.api import JsonValidator
+
+    cases = [
+        (
+            {"allOf": [
+                {"type": "object", "properties": {"a": {"type": "integer", "minimum": 5}}},
+                {"type": "object", "required": ["b"]},
+            ]},
+            {"a": 3},
+        ),
+        (
+            {"type": "object", "properties": {"o": {
+                "anyOf": [{"type": "string"}, {"type": "integer", "minimum": 10}]
+            }}},
+            {"o": 5},
+        ),
+    ]
+    for schema, doc in cases:
+        ref = RefValidator(verbose=True).validate(doc, schema)
+        eng = JsonValidator(verbose=True, truncate_branch_paths=True).validate(doc, schema)
+        def sig(errors):
+            out = []
+            for e in errors:
+                m = _re.match(r"((?:(?:allOf|anyOf)\[\d+\]: )+)", e.message)
+                out.append((m.group(1) if m else "", e.code.name, e.path))
+            return out
+        assert sig(eng.errors) == sig(ref.errors), (
+            f"eng={[(e.code.name, e.path, e.message) for e in eng.errors]}\n"
+            f"ref={[(e.code.name, e.path, e.message) for e in ref.errors]}"
+        )

@@ -233,3 +233,23 @@ def test_ngram_jaccard_bucket_cap_bounds_skewed_band(spark):
 
     dropped = ngram_jaccard_oversized_buckets(df, max_bucket_rows=50).collect()
     assert len(dropped) == 1 and dropped[0]["cnt"] == 400
+
+
+def test_lsh_pairs_shuffle_join_fallback_matches_broadcast(spark):
+    """broadcast_candidates=False (pathological near-dup-dense corpora):
+    identical pairs via a plain shuffle join."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = d.where(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = d.unionByName(extra)
+    a = {tuple(r) for r in minhash_lsh_pairs(corpus, threshold=0.7).collect()}
+    b = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            corpus, threshold=0.7, broadcast_candidates=False
+        ).collect()
+    }
+    assert a == b and len(a) >= 10

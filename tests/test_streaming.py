@@ -78,3 +78,33 @@ def test_windowed_violation_counts(spark, stream_dir, tmp_path):
     rows = spark.sql("select * from win_counts").collect()
     # append mode only emits closed windows; at least the early ones close
     assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_variant_path_binds_to_streams(spark, tmp_path):
+    """The variant binder is pure Column expressions, so the SAME compiled
+    plan validates a STREAM of raw-JSON payloads — AvailableNow micro-batches
+    must equal the batch run row-for-row."""
+    from json_schema_py_spark.plans.json_variant import validate_json_variant
+
+    src = str(tmp_path / "vin")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "props")
+    ev.write.parquet(src)
+    schema = {"type": "object", "additionalProperties": {"type": "integer", "minimum": 50}}
+
+    batch = {
+        tuple(r)
+        for r in validate_json_variant(ev, "props", schema, key_col="event_id").collect()
+    }
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        validate_json_variant(stream, "props", schema, key_col="event_id")
+        .writeStream.format("memory")
+        .queryName("variant_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("select * from variant_stream").collect()}
+    assert streamed == batch and len(batch) > 0
