@@ -271,6 +271,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cos")
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2: the composed training-corpus curation plan — quality gate →
+    exact dedup → LSH near-dup removal, one (doc_id, keep, reason) verdict
+    per input doc, smaller-id-wins, reason priority documented in
+    plans/curation.py. Oracle recomputes every stage independently
+    (brute-force Jaccard for the near-dup stage)."""
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 1200)
+    extra = d.where(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 100000)
+    return curate_documents(
+        d.unionByName(extra), min_tokens=30, max_tokens=80, lang="en",
+        near_dup_threshold=0.7,
+    )
+
+
 def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.schema.compiler import validate
 
@@ -518,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprints": q_fingerprints,
         "q_text_quality": q_text_quality,
         "q_token_counts": q_token_counts,
+        "q_curation": q_curation,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
@@ -729,6 +746,54 @@ SELECT doc_id, len(toks) AS n_tokens,
       list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
     (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
 FROM base
+""",
+        "q_curation": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1200
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+), q AS (
+  SELECT doc_id, text,
+    len({_TOKS}) AS ntok,
+    CASE WHEN len({_TOKS}) > 0
+      THEN len(list_filter({_TOKS}, t -> list_contains({_STOPW}, lower(t))))::DOUBLE / len({_TOKS})
+      ELSE 0.0 END AS swr,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM corpus
+), staged AS (
+  SELECT *, CASE
+    WHEN ntok < 30 THEN 'too_short'
+    WHEN ntok > 80 THEN 'too_long'
+    WHEN (CASE WHEN swr >= 0.03 THEN 'en' ELSE 'unknown' END) <> 'en' THEN 'lang_mismatch'
+    END AS qreason
+  FROM q
+), surv AS (
+  SELECT * FROM staged WHERE qreason IS NULL
+), exact_drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM surv
+  ) WHERE doc_id <> keep_id
+), corpus2 AS (
+  SELECT s.doc_id, {_shingles_sql(_TOKS)} AS sh
+  FROM surv s WHERE s.doc_id NOT IN (SELECT doc_id FROM exact_drops)
+), near_drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM corpus2 a, corpus2 b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+)
+SELECT s.doc_id,
+  (reason = 'kept') AS keep, reason
+FROM (
+  SELECT doc_id, COALESCE(
+    qreason,
+    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 'exact_duplicate'
+         WHEN doc_id IN (SELECT doc_id FROM near_drops) THEN 'near_duplicate' END,
+    'kept') AS reason
+  FROM staged
+) s
 """,
         "q_exact_dedup": """
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,

@@ -1,0 +1,114 @@
+"""Corpus curation: the training-data pipeline composed end to end.
+
+A pretraining corpus pass = quality gate → exact dedup → near-dup removal,
+each stage already a first-class operator here; this plan wires them into
+ONE verdict per document — ``(doc_id, keep, reason)`` — with deterministic,
+auditable drop reasons (no silent row loss: every input doc appears exactly
+once in the output).
+
+Stage order and reason priority (first matching wins):
+
+1. ``too_short`` / ``too_long``   — token-count bounds (functions/text.tokens)
+2. ``lang_mismatch``              — n-gram-heuristic language id
+3. ``low_quality``                — stopword-ratio floor (boilerplate/garbage)
+4. ``exact_duplicate``            — same normalized-text fingerprint as a
+                                    SURVIVING doc with a smaller id
+5. ``near_duplicate``             — verified Jaccard ≥ threshold against
+                                    ANY smaller-id doc in the dedup corpus
+                                    (MinHash-LSH candidates, exact verify)
+6. ``kept``
+
+Dedup stages see only quality-surviving docs (dropping garbage first keeps
+the shuffle small and mirrors production pipelines). The smaller-id-wins
+policy is deterministic and ONE-PASS: a doc drops iff some lower-id member
+of the dedup corpus duplicates it, whether or not that member itself drops
+— no transitive-closure iteration, which at 10^12 docs would mean
+multi-round connected components for marginal yield (every dropped doc's
+content survives via its duplicate chain's minimum id either way).
+
+Scale shape: the quality gate is a pure projection; exact dedup is one
+salted-able groupBy of (fingerprint, id); near-dup discovery is the banded
+LSH join (ids-only shuffle, operators/dedup.py); the final reason join is
+one broadcast of the (tiny) drop lists. Everything is DuckDB-oracle-able —
+the driver gate checks the full verdict column (q_curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.functions.text import (
+    lang_id,
+    stopword_ratio,
+    text_fingerprint,
+    token_count,
+)
+from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+    lang: str | None = "en",
+    min_stopword_ratio: float = 0.0,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        token_count(F.col(text_col)).alias("_ntok"),
+        lang_id(F.col(text_col)).alias("_lang"),
+        stopword_ratio(F.col(text_col)).alias("_swr"),
+        text_fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    quality_reason = (
+        F.when(F.col("_ntok") < min_tokens, F.lit("too_short"))
+        .when(F.col("_ntok") > max_tokens, F.lit("too_long"))
+        .when(
+            F.lit(lang is not None) & (F.col("_lang") != F.lit(lang or "")),
+            F.lit("lang_mismatch"),
+        )
+        .when(F.col("_swr") < min_stopword_ratio, F.lit("low_quality"))
+    )
+    staged = base.withColumn("_qreason", quality_reason)
+    surviving = staged.where(F.col("_qreason").isNull())
+
+    # exact dedup among survivors: every id above the group minimum drops.
+    # min() partial-aggregates map-side, so a boilerplate fingerprint shared
+    # by 10^9 docs never concentrates on one reducer (collect_list would);
+    # the re-join on _fp is AQE-skew-handled like the uniqueness check
+    minfp = surviving.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
+    exact_drops = (
+        surviving.select("doc_id", "_fp")
+        .join(minfp, "_fp")
+        .where(F.col("doc_id") != F.col("_keep_id"))
+        .select("doc_id", F.lit("exact_duplicate").alias("_dreason"))
+    )
+
+    # near-dup among survivors NOT already exact-dropped: drop the higher id
+    # of every verified pair whose lower side is a survivor
+    dedup_corpus = surviving.join(
+        F.broadcast(exact_drops.select("doc_id")), "doc_id", "left_anti"
+    )
+    pairs = minhash_lsh_pairs(
+        dedup_corpus, text_col="text", id_col="doc_id", threshold=near_dup_threshold
+    )
+    near_drops = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("near_duplicate").alias("_dreason"))
+    )
+
+    drops = exact_drops.unionByName(near_drops)
+    out = staged.join(F.broadcast(drops), "doc_id", "left")
+    reason = F.coalesce(F.col("_qreason"), F.col("_dreason"), F.lit("kept"))
+    return out.select(
+        "doc_id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
