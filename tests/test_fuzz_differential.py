@@ -36,6 +36,14 @@ documents = st.dictionaries(st.sampled_from(["p", "q", "r", "s"]), values, max_s
 # off the reference's logical-root-suppression quirk (documented deviation)
 leaf_schemas = st.one_of(
     st.builds(lambda t: {"type": t}, st.sampled_from(["string", "integer", "number", "boolean", "null", "array", "object"])),
+    # multi-type unions (reference TypeConstraintImpl(types list))
+    st.builds(
+        lambda ts: {"type": sorted(ts)},
+        st.sets(
+            st.sampled_from(["string", "integer", "number", "boolean", "null", "array", "object"]),
+            min_size=2, max_size=3,
+        ),
+    ),
     st.builds(lambda n: {"minLength": n}, st.integers(0, 5)),
     st.builds(lambda n: {"maxLength": n}, st.integers(0, 5)),
     st.builds(lambda p: {"pattern": p}, st.sampled_from(["^a", "xy", "c$", "a.c"])),
