@@ -37,6 +37,10 @@ def parse_args(argv):
     p.add_argument("--json-col", default=None, help="column holding raw JSON (table mode)")
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--exact", action="store_true", help="reference-exact pandas path (table mode)")
+    p.add_argument("--variant", action="store_true",
+                   help="Spark 4 VariantType path: per-value runtime typing, JVM-side (table mode)")
+    p.add_argument("--auto", action="store_true",
+                   help="dialect-aware router: typed path unless a pattern needs CPython regex (table mode)")
     p.add_argument("--out", default=None, help="write violations parquet here (table mode)")
     return p.parse_args(argv)
 
@@ -84,11 +88,18 @@ def _table_mode(args, schema) -> int:
     )
     if args.json_col:
         from json_schema_py_spark.plans.json_docs import (
+            validate_json_auto,
             validate_json_exact,
             validate_json_typed,
         )
+        from json_schema_py_spark.plans.json_variant import validate_json_variant
 
-        fn = validate_json_exact if args.exact else validate_json_typed
+        fn = (
+            validate_json_exact if args.exact
+            else validate_json_variant if args.variant
+            else validate_json_auto if args.auto
+            else validate_json_typed
+        )
         violations = fn(df, args.json_col, schema, key_col=args.key_col)
     else:
         from json_schema_py_spark.schema.compiler import validate

@@ -256,3 +256,28 @@ def test_verbose_truncated_paths_bit_identical_to_reference():
             f"eng={[(e.code.name, e.path, e.message) for e in eng.errors]}\n"
             f"ref={[(e.code.name, e.path, e.message) for e in ref.errors]}"
         )
+
+
+def test_cli_variant_and_auto_modes(tmp_path, spark):
+    import json as _json
+
+    from json_schema_py_spark.cli import main
+
+    schema_p = tmp_path / "s.json"
+    schema_p.write_text(_json.dumps({
+        "type": "object", "additionalProperties": {"type": "integer", "minimum": 50}}))
+    data = spark.createDataFrame(
+        [(1, '{"k": 99}'), (2, '{"k": 7}'), (3, '{"k": "oops"}')],
+        "event_id long, props string",
+    )
+    src = str(tmp_path / "ev.parquet")
+    data.write.parquet(src)
+    for flag in ("--variant", "--auto"):
+        out = str(tmp_path / f"viol{flag}")
+        rc = main([src, str(schema_p), "--json-col", "props", "--key-col", "event_id",
+                   flag, "--out", out])
+        assert rc == 1
+        rows = {r["doc_id"]: r["rule_id"] for r in spark.read.parquet(out).collect()}
+        assert rows[2] == "NUMBER_TOO_SMALL"
+        if flag == "--variant":  # per-value typing: the typed path would null this out
+            assert rows[3] == "TYPE_ERROR"
