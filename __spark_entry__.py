@@ -202,6 +202,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2: GPT-style sequence packing — every doc's position in the
+    global token concatenation and its fixed-window assignment, computed via
+    the two-pass distributed prefix sum (operators/packing.py); the oracle
+    is the naive global window."""
+    from json_schema_py_spark.operators.packing import assign_token_spans
+
+    return assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents ∪ planted copies (ids +100000)."""
     from json_schema_py_spark.operators.dedup import exact_duplicates
@@ -535,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_token_counts": q_token_counts,
         "q_curation": q_curation,
+        "q_token_packing": q_token_packing,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
@@ -794,6 +805,18 @@ FROM (
     'kept') AS reason
   FROM staged
 ) s
+""",
+        "q_token_packing": f"""
+WITH base AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
+  ((cum - n) // 512)::BIGINT AS first_pack,
+  ((cum - 1) // 512)::BIGINT AS last_pack
+FROM c
 """,
         "q_exact_dedup": """
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,

@@ -1,0 +1,132 @@
+"""Sequence packing for pretraining: concat-all-docs, chunk into fixed
+token windows (the GPT-style packing policy), as a deterministic table op.
+
+Every doc gets its token-stream position in the GLOBAL concatenation
+(ordered by id) and therefore its window assignment:
+
+    (doc_id, n_tokens, start_tok, first_pack, last_pack)
+
+``start_tok`` = tokens before this doc; window w covers tokens
+[w·max_tokens, (w+1)·max_tokens); a doc straddling a boundary reports the
+full first_pack..last_pack range (the downstream shard writer duplicates
+the straddling doc's tail into the next window, exactly as a token-level
+packer would).
+
+Scale shape — the naive plan is a GLOBAL window (single ordered partition:
+dead at 10^12 rows). This implements the classic distributed prefix sum:
+
+1. deterministic range-bucket on id (``width_bucket`` over the id span —
+   O(1) per row, stable across re-evaluations, unlike spark_partition_id
+   which depends on physical planning);
+2. per-bucket token totals → collect (ONE row per bucket, bounded) →
+   exclusive prefix offsets on the driver;
+3. per-bucket cumulative window (partitionBy bucket — one shuffle) +
+   broadcast offset join.
+
+Cost: one shuffle by bucket + one tiny collect. Uniform-width buckets
+assume a roughly uniform id space (the dense doc-index case); for skewed
+id spaces substitute quantile boundaries from table stats — the prefix-sum
+machinery is unchanged. The same two-pass pattern serves any global
+running aggregate over an ordered corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_py_spark.functions.text import token_count
+
+
+def assign_token_spans(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, first_pack, last_pack) — see module doc.
+
+    Deterministic: the global order is ``id_col`` ascending; ids must be
+    unique (validate upstream via operators/uniqueness) and numeric (range
+    bucketing needs an ordered numeric space; map string ids to an index
+    first)."""
+    dt = docs.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+    ):
+        raise ValueError(
+            f"assign_token_spans needs a numeric {id_col!r} for deterministic "
+            "range bucketing; derive an index column for string ids first"
+        )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    n_buckets = num_buckets or max(
+        base.sparkSession.sparkContext.defaultParallelism, 2
+    )
+    mm = base.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:
+        return base.select(
+            "doc_id", "n_tokens",
+            F.lit(None).cast("long").alias("start_tok"),
+            F.lit(None).cast("long").alias("first_pack"),
+            F.lit(None).cast("long").alias("last_pack"),
+        )
+    bucketed = base.withColumn(
+        "_b", F.width_bucket(F.col("doc_id"), F.lit(lo), F.lit(hi) + 1, F.lit(n_buckets))
+    )
+    # pass 1: one row per bucket — bounded driver traffic
+    totals = {
+        r["_b"]: r["_sum"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_sum")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        acc += totals[b]
+    off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    # pass 2: bucket-local running sum (ONE shuffle by bucket)
+    w = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn("_cum", F.sum("n_tokens").over(w) + F.col("_off"))
+    )
+    start = F.col("_cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / max_tokens).cast("long").alias("first_pack"),
+        F.floor((F.col("_cum") - 1) / max_tokens).cast("long").alias("last_pack"),
+    )
+
+
+def pack_summary(spans: DataFrame, max_tokens: int) -> DataFrame:
+    """(pack_id, n_docs, n_tokens) per window — the shard writer's manifest.
+    A straddling doc counts in every window it touches; token counts are the
+    tokens LANDING in the window (exact, not doc-attributed). Zero-token
+    docs never touch a window (first_pack..last_pack is empty for them only
+    when n_tokens = 0 at a window boundary — handled by the explode)."""
+    touched = spans.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+    )
+    w_start = F.col("pack_id") * max_tokens
+    w_end = w_start + max_tokens
+    in_window = F.least(F.col("start_tok") + F.col("n_tokens"), w_end) - F.greatest(
+        F.col("start_tok"), w_start
+    )
+    return (
+        touched.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(in_window).alias("n_tokens"),
+        )
+    )

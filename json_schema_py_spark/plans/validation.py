@@ -135,8 +135,13 @@ def run_validation(
     if drift_baselines:
         from json_schema_py_spark.operators.drift import histogram, psi_drift_violation
 
-        lo, hi, nbins = drift_histogram or (0.0, 1000.0, 20)
         for col, baseline in drift_baselines.items():
+            # drift_histogram: one (lo, hi, nbins) for every column, or a
+            # per-column mapping (the HistogramLog.bounds shape)
+            if isinstance(drift_histogram, Mapping):
+                lo, hi, nbins = drift_histogram[col]
+            else:
+                lo, hi, nbins = drift_histogram or (0.0, 1000.0, 20)
             cur = histogram(df, col, lo, hi, nbins)
             table_parts.append(
                 psi_drift_violation(cur, baseline, threshold=drift_threshold, column=col)

@@ -58,9 +58,38 @@ def main(sf_dir: str, out_dir: str, run_id: str = "run-0") -> int:
     )
     cross.write.mode("overwrite").parquet(f"{out_dir}/violations_cross")
 
+    # distribution drift vs the LAST run's snapshot (plans/stats_history):
+    # full-table like the other cross-row checks; a retried run_id never
+    # baselines against its own appends
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.drift import psi_drift_violation
+    from json_schema_py_spark.plans.stats_history import HistogramLog
+
+    bounds = {"n_spans": (0.0, 10.0, 10)}
+    hlog = HistogramLog(spark, f"{out_dir}/stats_history", bounds)
+    watched = full.withColumn("n_spans", F.size("spans"))
+    drift_rows = 0
+    baselines = hlog.latest_baselines(exclude_run=run_id)
+    if baselines:
+        from json_schema_py_spark.operators.drift import histogram
+
+        drifts = [
+            psi_drift_violation(
+                histogram(watched, col, *bounds[col]), base, column=col
+            )
+            for col, base in baselines.items()
+        ]
+        d = drifts[0]
+        for x in drifts[1:]:
+            d = d.unionByName(x)
+        d.write.mode("overwrite").parquet(f"{out_dir}/violations_drift")
+        drift_rows = spark.read.parquet(f"{out_dir}/violations_drift").count()
+    hlog.append(watched, run_id)
+
     n = spark.read.parquet(f"{out_dir}/violations").count()
     nc = spark.read.parquet(f"{out_dir}/violations_cross").count()
-    print(f"violations so far: {n} per-row + {nc} cross-row")
+    print(f"violations so far: {n} per-row + {nc} cross-row + {drift_rows} drift")
     return 0
 
 

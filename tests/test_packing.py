@@ -1,0 +1,54 @@
+"""Sequence packing: distributed prefix sum == naive global window; exact
+window manifests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_spans_match_naive_global_window(spark):
+    from json_schema_py_spark.functions.text import token_count
+    from json_schema_py_spark.operators.packing import assign_token_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["start_tok"], r["first_pack"], r["last_pack"])
+        for r in assign_token_spans(docs, max_tokens=256, num_buckets=7).collect()
+    }
+    # naive single-partition global window (the plan this op avoids)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        docs.select("doc_id", token_count(F.col("text")).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    for r in naive.collect():
+        start = r["cum"] - r["n"]
+        assert got[r["doc_id"]] == (start, start // 256, (r["cum"] - 1) // 256), r
+    assert len(got) == docs.count()
+
+
+def test_pack_summary_windows_are_exact(spark):
+    from json_schema_py_spark.operators.packing import assign_token_spans, pack_summary
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = assign_token_spans(docs, max_tokens=512)
+    total_tokens = spans.agg(F.sum("n_tokens")).collect()[0][0]
+    packs = pack_summary(spans, max_tokens=512).orderBy("pack_id").collect()
+    # windows tile the token stream exactly: all full except the last
+    assert sum(p["n_tokens"] for p in packs) == total_tokens
+    for p in packs[:-1]:
+        assert p["n_tokens"] == 512, p
+    assert 0 < packs[-1]["n_tokens"] <= 512
+    assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+
+
+def test_token_spans_string_id_rejected(spark):
+    import pytest
+
+    from json_schema_py_spark.operators.packing import assign_token_spans
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric"):
+        assign_token_spans(df, max_tokens=10)
