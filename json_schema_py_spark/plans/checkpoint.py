@@ -78,6 +78,22 @@ def planning_fingerprint(spark: SparkSession) -> str:
     )
 
 
+def stamp_verdicts(verdicts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Verdict rows → LINEAGE_SCHEMA shape (ts / attempt / layout stamped).
+    Shared by every lineage backend (parquet here, Iceberg in
+    sinks/iceberg.py) so a schema change cannot silently diverge."""
+    return verdicts.select(
+        "run_id",
+        F.col("partition_key").cast("string"),
+        "pass",
+        F.col("docs").cast("long"),
+        F.col("violations").cast("long"),
+        F.lit(time.time()).alias("ts"),
+        F.lit(uuid.uuid4().hex).alias("attempt"),
+        F.lit(planning_fingerprint(spark)).alias("layout"),
+    )
+
+
 class LineageLog:
     """Append-only lineage/metrics log with resume support."""
 
@@ -87,17 +103,7 @@ class LineageLog:
 
     def append(self, verdicts: DataFrame) -> None:
         """Append verdict rows (run_id, partition_key, pass, docs, violations)."""
-        stamped = verdicts.select(
-            "run_id",
-            F.col("partition_key").cast("string"),
-            "pass",
-            F.col("docs").cast("long"),
-            F.col("violations").cast("long"),
-            F.lit(time.time()).alias("ts"),
-            F.lit(uuid.uuid4().hex).alias("attempt"),
-            F.lit(planning_fingerprint(self.spark)).alias("layout"),
-        )
-        stamped.write.mode("append").parquet(self.path)
+        stamp_verdicts(verdicts, self.spark).write.mode("append").parquet(self.path)
 
     def read(self) -> DataFrame:
         if not os.path.exists(self.path):
@@ -144,10 +150,12 @@ class LineageLog:
                     "(e.g. _source_file) instead."
                 )
             key_expr: Column = F.spark_partition_id().cast("string")
-        elif isinstance(partition_key, str):
-            key_expr = F.col(partition_key).cast("string")
         else:
-            key_expr = partition_key.cast("string")
+            # same None/str/Column resolution as verdict grouping — one
+            # implementation so resume keys can never drift from verdict keys
+            from json_schema_py_spark.plans.validation import _partition_key_col
+
+            key_expr = _partition_key_col(partition_key)
         tagged = df.withColumn("_pkey", key_expr)
         return (
             tagged.join(

@@ -34,7 +34,10 @@ as compact JSON (variant to_json, object keys SORTED — variant objects
 store fields lexicographically); uniqueItems compares to_json renderings
 (the reference compares str() reprs — same equivalence classes for JSON
 data); open-object iteration order is the variant's sorted key order, not
-document order.
+document order; numeric comparisons (bounds/enum/const/multipleOf) run in
+double precision, so integers beyond 2^53 may compare equal when CPython
+would distinguish them (see _jt for the integer/number classification
+corners above int64).
 """
 
 from __future__ import annotations
@@ -50,20 +53,34 @@ from json_schema_py_spark.schema.compiler import (
     VIOLATION_TYPE,
     _empty,
     _escape_pointer_token,
+    _key_path,
     _maybe,
     _viol,
 )
 from json_schema_py_spark.schema.model import Rule, normalize_schema
 
 def _jt(v: Column) -> Column:
-    """Per-VALUE JSON type name from the variant's runtime schema."""
+    """Per-VALUE JSON type name from the variant's runtime schema.
+
+    Numeric mapping (empirical, Spark 4.1 parse_json): integer literals
+    ≤ int64 → BIGINT; integer literals ABOVE int64 → DECIMAL(p≥19, 0);
+    decimal-pointed literals → DECIMAL(p≤18, 0..s) (1.0 normalizes to
+    DECIMAL(1,0)); magnitudes beyond DECIMAL(38) → DOUBLE. Hence:
+    scale-0 DECIMAL with precision ≥ 19 is a big INTEGER; any other
+    DECIMAL/DOUBLE is a number. Documented corners vs CPython json.loads:
+    a >int64 integral written WITH a decimal point classifies integer, and
+    integers beyond 38 digits degrade to DOUBLE (classify number) — CPython
+    keeps arbitrary-precision ints."""
     sch = F.schema_of_variant(v)
     return (
         F.when(F.startswith(sch, F.lit("OBJECT")), F.lit("object"))
         .when(F.startswith(sch, F.lit("ARRAY")), F.lit("array"))
         .when(sch == "STRING", F.lit("string"))
         .when(sch == "BOOLEAN", F.lit("boolean"))
-        .when(sch == "BIGINT", F.lit("integer"))
+        .when(
+            (sch == "BIGINT") | sch.rlike(r"^DECIMAL\((19|2[0-9]|3[0-8]),0\)$"),
+            F.lit("integer"),
+        )
         .when(
             F.startswith(sch, F.lit("DECIMAL"))
             | sch.isin("DOUBLE", "FLOAT"),
@@ -572,7 +589,7 @@ class VariantBinder:
                     F.transform(
                         F.filter(keys, pkeys),
                         lambda k: sv(
-                            F.try_element_at(m, k), F.concat(path, F.lit("/"), k)
+                            F.try_element_at(m, k), _key_path(path, k)
                         ),
                     )
                 )
@@ -594,7 +611,7 @@ class VariantBinder:
                         ek,
                         lambda k: _viol(
                             ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
-                            F.concat(path, F.lit("/"), k),
+                            _key_path(path, k),
                             F.to_json(F.try_element_at(m, k)),
                         ),
                     ).cast(VIOLATION_TYPE)
@@ -606,7 +623,7 @@ class VariantBinder:
                         F.transform(
                             ek,
                             lambda k: av(
-                                F.try_element_at(m, k), F.concat(path, F.lit("/"), k)
+                                F.try_element_at(m, k), _key_path(path, k)
                             ),
                         )
                     )
@@ -624,7 +641,7 @@ def _as_string_variant_viols(nv: Callable, key: Column, path: Column) -> Column:
     a variant so the same binder applies (parse_json of the JSON-quoted key)."""
     kv = F.parse_json(F.to_json(F.struct(key.alias("k"))))
     kvar = F.variant_get(kv, "$.k", "variant")
-    return nv(kvar, F.concat(path, F.lit("/"), key))
+    return nv(kvar, _key_path(path, key))
 
 
 def _string_key_fires(nf: Callable, key: Column) -> Column:

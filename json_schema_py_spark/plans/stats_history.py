@@ -56,6 +56,8 @@ class HistogramLog:
         path: str,
         bounds: Mapping[str, tuple[float, float, int]],
     ):
+        if not bounds:
+            raise ValueError("HistogramLog needs at least one watched column in bounds")
         self.spark = spark
         self.path = path
         self.bounds = dict(bounds)

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Mapping, Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,11 +125,17 @@ def run_validation(
         F.col("v.observed").alias("observed"),
     )
 
-    cross_parts: list[DataFrame] = []
+    # (violation rows, the DF column their doc_id values came from) — the
+    # uniqueness check keys on unique_key, the spans FK check on the df's
+    # doc_id column; attribution must join each part back on ITS OWN source
+    # column (joining everything on key_col silently loses cross-row
+    # verdicts whenever unique_key != key_col)
+    cross_specs: list[tuple[DataFrame, str]] = []
     if unique_key is not None:
-        cross_parts.append(uniqueness_violations(df, unique_key))
+        cross_specs.append((uniqueness_violations(df, unique_key), unique_key))
     if media_dim is not None and "spans" in df.columns:
-        cross_parts.append(spans_fk_violations(df, media_dim))
+        cross_specs.append((spans_fk_violations(df, media_dim), "doc_id"))
+    cross_parts = [p for p, _ in cross_specs]
 
     table_parts: list[DataFrame] = []
     if drift_baselines:
@@ -157,35 +163,55 @@ def run_validation(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.size("violations")).alias("_row_viols"),
     )
-    if cross_parts:
+    if cross_specs:
         # each key's cross-row violations are distributed over the rows
         # carrying that key (a dup pair split across two partitions fails
-        # both, one violation each; totals sum exactly to the violation-row
-        # count). Only VIOLATING keys leave the map side: the broadcast
-        # inner join filters the big table down to the tiny hit set before
-        # any shuffle.
-        by_key = (
-            reduce(lambda a, b: a.unionByName(b), cross_parts)
-            .where(F.col("doc_id").isNotNull())
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("_kviols"))
-        )
-        keyed = annotated.select(
-            F.col(key_col).cast("string").alias("doc_id"),
-            pkey.alias("partition_key"),
-        )
-        hits = keyed.join(F.broadcast(by_key), "doc_id")
-        per_pk = hits.groupBy("doc_id", "partition_key").agg(
-            F.count(F.lit(1)).alias("_rows_pk"), F.first("_kviols").alias("_kviols")
-        )
-        per_key = per_pk.groupBy("doc_id").agg(F.sum("_rows_pk").alias("_rows_total"))
-        attributed = (
-            per_pk.join(per_key, "doc_id")
-            .withColumn(
-                "_share", F.col("_kviols") * F.col("_rows_pk") / F.col("_rows_total")
+        # both), with an EXACT integer allocation: floor shares first, the
+        # remainder to the lowest partition_keys — per-partition totals sum
+        # precisely to the violation-row count (round() would double-count
+        # when a key's violations aren't proportional to its rows). Only
+        # VIOLATING keys leave the map side: the broadcast inner join
+        # filters the big table down to the tiny hit set before any
+        # shuffle; the window functions below run on that hit set only.
+        allocs: list[DataFrame] = []
+        for part, src_col in cross_specs:
+            by_key = (
+                part.where(F.col("doc_id").isNotNull())
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_kviols"))
             )
+            keyed = annotated.select(
+                F.col(src_col).cast("string").alias("doc_id"),
+                pkey.alias("partition_key"),
+            )
+            per_pk = (
+                keyed.join(F.broadcast(by_key), "doc_id")
+                .groupBy("doc_id", "partition_key")
+                .agg(F.count(F.lit(1)).alias("_rows_pk"), F.first("_kviols").alias("_kviols"))
+            )
+            w_tot = Window.partitionBy("doc_id")
+            w_rank = Window.partitionBy("doc_id").orderBy("partition_key")
+            alloc = (
+                per_pk.withColumn("_rows_total", F.sum("_rows_pk").over(w_tot))
+                .withColumn(
+                    "_base",
+                    F.floor(
+                        F.col("_kviols") * F.col("_rows_pk") / F.col("_rows_total")
+                    ).cast("long"),
+                )
+                .withColumn("_base_sum", F.sum("_base").over(w_tot))
+                .withColumn("_rn", F.row_number().over(w_rank))
+                .withColumn(
+                    "_alloc",
+                    F.col("_base")
+                    + (F.col("_rn") <= F.col("_kviols") - F.col("_base_sum")).cast("long"),
+                )
+            )
+            allocs.append(alloc.select("partition_key", "_alloc"))
+        attributed = (
+            reduce(lambda a, b: a.unionByName(b), allocs)
             .groupBy("partition_key")
-            .agg(F.round(F.sum("_share")).cast("long").alias("_cross_viols"))
+            .agg(F.sum("_alloc").alias("_cross_viols"))
         )
         rollup = rollup.join(attributed, "partition_key", "left")
     else:

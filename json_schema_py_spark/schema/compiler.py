@@ -167,6 +167,15 @@ def _index_path(path: Column, idx: Column) -> Column:
     return F.concat(path, F.lit("/"), idx.cast("string"))
 
 
+def _key_path(path: Column, k: Column) -> Column:
+    """Pointer segment for a RUNTIME key (map/variant object keys): RFC-6901
+    escaping applied per row, mirroring pyeval._escape — a key containing
+    '/' or '~' must not produce an ambiguous pointer (static keys go
+    through _child_path, which escapes at compile time)."""
+    esc = F.replace(F.replace(k, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1"))
+    return F.concat(path, F.lit("/"), esc)
+
+
 def _py_regex_search(pattern: str, s: str) -> bool:
     try:
         return re.search(pattern, s) is not None
@@ -865,7 +874,7 @@ class RuleBinder:
                     viol=lambda col, path, b=nb: F.flatten(
                         F.transform(
                             F.filter(F.map_keys(col), lambda k: b.fires(k)),
-                            lambda k: b.viol(k, F.concat(path, F.lit("/"), k)),
+                            lambda k: b.viol(k, _key_path(path, k)),
                         )
                     ),
                     fires=lambda col, b=nb: F.exists(F.map_keys(col), lambda k: b.fires(k)),
@@ -898,13 +907,45 @@ class RuleBinder:
                 )
             )
 
-        pattern_list = list(rule.pattern_properties.keys())
+        # patternProperties keys: mirror the `pattern` keyword path —
+        # Python-invalid patterns are SKIPPED (pyeval/reference semantics),
+        # valid ones are mechanically translated to the Java dialect and
+        # fail fast if untranslatable; keys already matched by static
+        # `properties` are EXCLUDED (pyeval: `if k not in rule.properties`)
+        pattern_list: list[str] = []
         for pat, sub in rule.pattern_properties.items():
+            try:
+                re.compile(pat)
+            except re.error:
+                continue
+            from json_schema_py_spark.schema.model import SchemaCompileError
+            from json_schema_py_spark.schema.regex_dialect import (
+                java_compile_ok,
+                to_java_pattern,
+                warn_if_nonportable,
+            )
+
+            warn_if_nonportable(pat)
+            jpat = to_java_pattern(pat)
+            if java_compile_ok(jpat) is False:
+                raise SchemaCompileError(
+                    f"patternProperties key {pat!r} has no java.util.regex "
+                    "equivalent; validate this ruleset via "
+                    "plans.json_docs.validate_json_exact (CPython semantics)"
+                )
+            pattern_list.append(jpat)
             b = self.bind(sub, val_dtype)
             nv = _null_value_viols(sub, self.verbose)
+            static_keys = tuple(rule.properties.keys())
 
-            def pat_keys(col: Column, p=pat) -> Column:
-                return F.filter(F.map_keys(col), lambda k: k.rlike(p))
+            def pat_keys(col: Column, p=jpat, sk=static_keys) -> Column:
+                def match(k: Column) -> Column:
+                    cond = k.rlike(p)
+                    if sk:
+                        cond = cond & ~k.isin(list(sk))
+                    return cond
+
+                return F.filter(F.map_keys(col), match)
 
             seq.append(
                 Bound(
@@ -913,10 +954,10 @@ class RuleBinder:
                             pk(col),
                             lambda k: F.when(
                                 F.try_element_at(col, k).isNull(),
-                                _const_viols(nv, F.concat(path, F.lit("/"), k)),
+                                _const_viols(nv, _key_path(path, k)),
                             ).otherwise(
                                 b.viol(
-                                    F.try_element_at(col, k), F.concat(path, F.lit("/"), k)
+                                    F.try_element_at(col, k), _key_path(path, k)
                                 )
                             ),
                         )
@@ -953,7 +994,7 @@ class RuleBinder:
                             extra_keys(col),
                             lambda k: _viol(
                                 ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
-                                F.concat(path, F.lit("/"), k),
+                                _key_path(path, k),
                                 py_str(F.try_element_at(col, k), val_dtype),
                             ),
                         ).cast(VIOLATION_TYPE),
@@ -970,11 +1011,11 @@ class RuleBinder:
                                 extra_keys(col),
                                 lambda k: F.when(
                                     F.try_element_at(col, k).isNull(),
-                                    _const_viols(nv, F.concat(path, F.lit("/"), k)),
+                                    _const_viols(nv, _key_path(path, k)),
                                 ).otherwise(
                                     b.viol(
                                         F.try_element_at(col, k),
-                                        F.concat(path, F.lit("/"), k),
+                                        _key_path(path, k),
                                     )
                                 ),
                             )

@@ -78,23 +78,9 @@ class IcebergLineageLog(LineageLog):
         super().__init__(spark, table)
 
     def append(self, verdicts: DataFrame) -> None:
-        import time
-        import uuid
+        from json_schema_py_spark.plans.checkpoint import stamp_verdicts
 
-        from pyspark.sql import functions as F
-
-        from json_schema_py_spark.plans.checkpoint import planning_fingerprint
-
-        stamped = verdicts.select(
-            "run_id",
-            F.col("partition_key").cast("string"),
-            "pass",
-            F.col("docs").cast("long"),
-            F.col("violations").cast("long"),
-            F.lit(time.time()).alias("ts"),
-            F.lit(uuid.uuid4().hex).alias("attempt"),
-            F.lit(planning_fingerprint(self.spark)).alias("layout"),
-        )
+        stamped = stamp_verdicts(verdicts, self.spark)
         if not self.spark.catalog.tableExists(self.path):
             stamped.writeTo(self.path).partitionedBy("run_id").create()
         else:

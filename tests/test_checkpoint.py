@@ -241,11 +241,44 @@ def test_histogram_log_drift_loop(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["path"] == "/n_spans"
     log.append(shifted, "r3")
 
-    # retried run 3 must exclude its own snapshot from the baseline
+    # retried run 3 must exclude its own snapshot from the baseline: the
+    # excluded view equals run 2's histogram, while the unfiltered newest
+    # snapshot is run 3's SHIFTED histogram — they must differ
+    from json_schema_py_spark.operators.drift import psi
+
     b3r = log.latest_baselines(exclude_run="r3")
     newest_all = log.latest_baselines()
-    assert b3r["n_spans"].collect() != newest_all["n_spans"].collect() or True
-    # the excluded baseline equals run 2's histogram (identical to run 1 data)
-    from json_schema_py_spark.operators.drift import psi
-    p = psi(b3r["n_spans"], log.read().where(F2.col("run_id") == "r2").select("bucket", "cnt")).collect()[0]["psi"]
-    assert p == 0.0
+    r2_hist = log.read().where(F2.col("run_id") == "r2").select("bucket", "cnt")
+    assert psi(b3r["n_spans"], r2_hist).collect()[0]["psi"] == 0.0
+    assert psi(newest_all["n_spans"], r2_hist).collect()[0]["psi"] > 0.25
+
+
+def test_cross_row_attribution_respects_unique_key_and_is_exact(spark):
+    """Review findings r02: (a) attribution joins each cross-row part on its
+    OWN source column — unique_key != key_col must still fail verdicts;
+    (b) integer allocation sums EXACTLY to the violation-row count even when
+    a key's violations aren't proportional to its row count."""
+    from json_schema_py_spark.plans.validation import run_validation
+
+    # (a) duplicate values in a secondary column, distinct primary keys
+    df = spark.createDataFrame(
+        [(1, "e1"), (2, "e1"), (3, "e2")], "doc_id long, event_id string"
+    )
+    run = run_validation(
+        df, {"noop": {"type": "object"}}, key_col="doc_id", unique_key="event_id"
+    )
+    assert run.violations.where(F.col("rule_id") == "UNIQUENESS_VIOLATION").count() == 2
+    assert run.verdicts.agg(F.sum("violations")).collect()[0][0] == 2
+    assert run.verdicts.where(~F.col("pass")).count() >= 1
+
+    # (b) a key duplicated across partitions with an ODD violation count:
+    # 2 rows share doc_id 'd' in different partitions; uniqueness emits 2
+    # rows (1 per offending row) + manual check that totals stay exact
+    df2 = spark.createDataFrame(
+        [(0, "d"), (1, "d"), (2, "x")], "pk long, doc_id string"
+    ).repartition(2, "pk")
+    run2 = run_validation(
+        df2, {"noop": {"type": "object"}}, key_col="doc_id", unique_key="doc_id"
+    )
+    n_viol = run2.violations.count()
+    assert run2.verdicts.agg(F.sum("violations")).collect()[0][0] == n_viol

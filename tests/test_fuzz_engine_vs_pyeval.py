@@ -126,7 +126,9 @@ MAP_ROW_TYPE = T.StructType(
 map_rows = st.one_of(
     st.none(),
     st.dictionaries(
-        st.sampled_from(["alpha", "beta", "Bad Key", "x1"]),
+        # 'a/b' and 'x~y' exercise RFC-6901 runtime-key escaping; 'beta'
+        # exercises the properties/patternProperties overlap
+        st.sampled_from(["alpha", "beta", "Bad Key", "x1", "a/b", "x~y"]),
         st.one_of(st.none(), st.integers(-10, 10)),
         max_size=4,
     ),
@@ -141,7 +143,11 @@ map_schemas = st.builds(
             "maxProperties": st.integers(1, 3),
             "required": st.lists(st.sampled_from(["alpha", "beta"]), max_size=2, unique=True),
             "propertyNames": st.just({"pattern": "^[a-z]+$"}),
-            "properties": st.just({"alpha": {"minimum": 0}}),
+            "properties": st.sampled_from([
+                {"alpha": {"minimum": 0}},
+                # overlaps patternProperties '^b': pattern must NOT re-apply
+                {"beta": {"minimum": 8}},
+            ]),
             "patternProperties": st.just({"^b": {"maximum": 5}}),
             "additionalProperties": st.sampled_from([False, {"type": "integer", "minimum": -5}]),
             "dependencies": st.just({"alpha": ["beta"]}),

@@ -124,3 +124,33 @@ def test_variant_logical_ops(spark):
         validate_json_variant(df, "payload", schema).collect()
     }
     assert out == {(3, "ANY_OF_NO_MATCH"), (4, "ANY_OF_NO_MATCH")}
+
+
+def test_variant_bigint_and_precision_corners(spark):
+    """Review finding r02: integers above int64 arrive as DECIMAL(p>=19, 0)
+    and must classify as JSON integers (CPython json.loads keeps ints);
+    decimal-pointed literals stay numbers."""
+    from json_schema_py_spark.plans.json_variant import validate_json_variant
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 9223372036854775808}'), (2, '{"k": 1.0}'), (3, '{"k": 7}')],
+        "doc_id long, payload string",
+    )
+    out = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate_json_variant(
+            df, "payload", {"properties": {"k": {"type": "integer", "minimum": 2}}}
+        ).collect()
+    }
+    assert out == {(2, "TYPE_ERROR")}
+
+    # runtime keys escape in variant paths too
+    df2 = spark.createDataFrame([(1, '{"a/b": 1}')], "doc_id long, payload string")
+    out2 = {
+        (r["rule_id"], r["path"])
+        for r in validate_json_variant(
+            df2, "payload",
+            {"type": "object", "additionalProperties": {"minimum": 5}},
+        ).collect()
+    }
+    assert out2 == {("NUMBER_TOO_SMALL", "/a~1b")}

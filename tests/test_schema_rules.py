@@ -396,3 +396,46 @@ def test_verbose_column_path_matches_pyeval(spark):
         ("allOf[0]:anyOf[0]:NUMBER_TOO_SMALL", "/v"),
         ("allOf[0]:anyOf[1]:NUMBER_NOT_MULTIPLE", "/v"),
     ]
+
+
+def test_map_pattern_properties_exclude_static_and_escape_keys(spark):
+    """Review findings r02: (a) patternProperties must NOT re-apply to keys
+    matched by static `properties` (pyeval/reference: `if k not in
+    rule.properties`); (b) runtime keys escape per RFC-6901 in pointers;
+    (c) Python-only named-group patterns translate to the Java dialect
+    instead of crashing rlike."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(1, _json.dumps({"beta": 7, "a/b": 1, "x~y": 2}))], "doc_id long, mj string"
+    ).select("doc_id", F.from_json("mj", "map<string,bigint>").alias("m"))
+
+    # (a) beta satisfies properties (>=5) and must NOT be re-checked by ^b (<=3)
+    schema = {
+        "properties": {
+            "m": {
+                "type": "object",
+                "properties": {"beta": {"minimum": 5}},
+                "patternProperties": {"^b": {"maximum": 3}},
+                "additionalProperties": {"maximum": 1},
+            }
+        }
+    }
+    out = {(r["rule_id"], r["path"]) for r in validate(df, schema).collect()}
+    # beta: clean (properties only); a/b: ok (<=1); x~y: 2 > 1 with escaped path
+    assert out == {("NUMBER_TOO_LARGE", "/m/x~0y")}
+
+    # (b) '/' in a key escapes as ~1
+    schema2 = {"properties": {"m": {"type": "object", "additionalProperties": {"minimum": 5}}}}
+    out2 = {(r["rule_id"], r["path"]) for r in validate(df, schema2).collect()}
+    assert ("NUMBER_TOO_SMALL", "/m/a~1b") in out2
+    assert ("NUMBER_TOO_SMALL", "/m/x~0y") in out2
+
+    # (c) Python named group in patternProperties: translated, not crashed
+    schema3 = {
+        "properties": {
+            "m": {"type": "object", "patternProperties": {"(?P<g>^a)": {"minimum": 9}}}
+        }
+    }
+    out3 = {(r["rule_id"], r["path"]) for r in validate(df, schema3).collect()}
+    assert out3 == {("NUMBER_TOO_SMALL", "/m/a~1b")}
