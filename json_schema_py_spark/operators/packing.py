@@ -60,9 +60,14 @@ def assign_token_spans(
             f"assign_token_spans needs a numeric {id_col!r} for deterministic "
             "range bucketing; derive an index column for string ids first"
         )
+    # the tokenized projection feeds THREE actions (min/max, bucket totals,
+    # the returned plan) — persist it so the corpus tokenizes once (review
+    # finding r02); narrow (id, count) columns keep the cache small. Callers
+    # running at full lake scale can instead materialize this projection to
+    # the lake and call with text_col pre-counted.
     base = docs.select(
         F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
-    )
+    ).persist()
     n_buckets = num_buckets or max(
         base.sparkSession.sparkContext.defaultParallelism, 2
     )

@@ -179,7 +179,7 @@ def _centroids(
     corpus once). Fully deterministic: no RNG anywhere."""
     rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     cents = [[float(x) for x in r[0]] for r in rows]
-    if train_iters <= 0:
+    if train_iters <= 0 or not cents:
         return cents
     sample = corpus
     if sample_mod and sample_mod > 1:

@@ -207,18 +207,13 @@ class VariantBinder:
         if rule.max_length is not None:
             leaf(is_s & (F.length(s) > rule.max_length), ErrorCode.STRING_TOO_LONG.value, path, s)
         if rule.pattern is not None:
-            import re as _re
+            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            from json_schema_py_spark.schema.regex_dialect import to_java_pattern
-
-            try:
-                _re.compile(rule.pattern)
-                leaf(
-                    is_s & ~s.rlike(to_java_pattern(rule.pattern)),
-                    ErrorCode.PATTERN_MISMATCH.value, path, s,
-                )
-            except _re.error:
+            jp = checked_java_pattern(rule.pattern)
+            if jp is None:  # Python-invalid: lazy SCHEMA_INVALID (reference)
                 leaf(is_s, ErrorCode.SCHEMA_INVALID.value, path, s)
+            else:
+                leaf(is_s & ~s.rlike(jp), ErrorCode.PATTERN_MISMATCH.value, path, s)
 
         # numbers (bool is never a number: jt dispatch already excludes it)
         d = F.try_variant_get(v, "$", "double")
@@ -352,15 +347,10 @@ class VariantBinder:
         if rule.max_length is not None:
             conds.append(is_s & (F.length(s) > rule.max_length))
         if rule.pattern is not None:
-            import re as _re
+            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            from json_schema_py_spark.schema.regex_dialect import to_java_pattern
-
-            try:
-                _re.compile(rule.pattern)
-                conds.append(is_s & ~s.rlike(to_java_pattern(rule.pattern)))
-            except _re.error:
-                conds.append(is_s)
+            jp = checked_java_pattern(rule.pattern)
+            conds.append(is_s if jp is None else (is_s & ~s.rlike(jp)))
 
         d = F.try_variant_get(v, "$", "double")
         is_n = jt.isin("integer", "number")
@@ -446,15 +436,11 @@ class VariantBinder:
             )
         pattern_list = []
         for pat, sub in rule.pattern_properties.items():
-            import re as _re
+            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            try:
-                _re.compile(pat)
-            except _re.error:
+            jpat = checked_java_pattern(pat)
+            if jpat is None:  # Python-invalid: skipped (reference semantics)
                 continue
-            from json_schema_py_spark.schema.regex_dialect import to_java_pattern
-
-            jpat = to_java_pattern(pat)
             pattern_list.append(jpat)
             _sv, sf = self.bind(sub)
             skip = tuple(matched_static)
@@ -565,15 +551,11 @@ class VariantBinder:
             )
         pattern_list = []
         for pat, sub in rule.pattern_properties.items():
-            import re as _re
+            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            try:
-                _re.compile(pat)
-            except _re.error:
+            jpat = checked_java_pattern(pat)
+            if jpat is None:  # Python-invalid: skipped (reference semantics)
                 continue
-            from json_schema_py_spark.schema.regex_dialect import to_java_pattern
-
-            jpat = to_java_pattern(pat)
             pattern_list.append(jpat)
             sv, _sf = self.bind(sub)
             skip = [k for k in matched_static]
@@ -612,7 +594,15 @@ class VariantBinder:
                         lambda k: _viol(
                             ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
                             _key_path(path, k),
-                            F.to_json(F.try_element_at(m, k)),
+                            # _obs: Python-ish scalar rendering ('x' not '"x"',
+                            # 'True' not 'true'), parity with pyeval/py_str
+                            F.get(
+                                F.transform(
+                                    F.array(F.try_element_at(m, k)),
+                                    lambda c: _obs(c, _jt(c)),
+                                ),
+                                0,
+                            ),
                         ),
                     ).cast(VIOLATION_TYPE)
                 )

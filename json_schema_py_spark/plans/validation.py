@@ -225,6 +225,25 @@ def run_validation(
         "docs",
         total.alias("violations"),
     )
+    if cross_specs:
+        # cross-row violations on NULL-keyed rows cannot be attributed to a
+        # partition by key; they surface on a failing __nullkey__ pseudo-
+        # partition row so no checkpoint/resume can mark them pass (review
+        # finding r02 — the synth corpus deliberately plants NULL doc_ids)
+        nullkey = (
+            reduce(lambda a, b: a.unionByName(b), cross_parts)
+            .where(F.col("doc_id").isNull())
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .where(F.col("violations") > 0)
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit("__nullkey__").alias("partition_key"),
+                F.lit(False).alias("pass"),
+                F.lit(0).cast("long").alias("docs"),
+                F.col("violations").cast("long"),
+            )
+        )
+        verdicts = verdicts.unionByName(nullkey)
     if table_parts:
         tbl = (
             reduce(lambda a, b: a.unionByName(b), table_parts)

@@ -85,6 +85,17 @@ def _null_value_viols(rule: Rule, verbose: bool = False) -> list:
     return evaluate(rule, None, "", verbose)
 
 
+def _canonical_json_col(col: Column, dtype: T.DataType) -> Column:
+    """to_json rendering made comparable with _to_json_literal: MAP columns
+    sort entries by key first (to_json renders maps in document order, which
+    a schema literal cannot predict); structs/arrays render as-is (field
+    order is the schema's). Maps NESTED inside the value keep data order —
+    a documented deviation for composite enum/const on such shapes."""
+    if isinstance(dtype, T.MapType):
+        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col))))
+    return F.to_json(col)
+
+
 def _prefix_viols(arr: Column, prefix: str) -> Column:
     """Re-emit a violations array with ``prefix`` prepended to every rule_id
     (the reference prefixes branch-error MESSAGES, logical.py:98-103; rule_id
@@ -248,9 +259,12 @@ def _to_json_literal(v: Any, dtype: T.DataType) -> str:
         ]
         return "{" + ",".join(parts) + "}"
     if isinstance(dtype, T.MapType) and isinstance(v, dict):
+        # map columns render via _canonical_json_col (entries sorted by key),
+        # so the literal sorts too — map DATA order is document order and
+        # cannot be assumed (probe-confirmed review finding r02)
         parts = [
-            _json.dumps(k, ensure_ascii=False) + ":" + _to_json_literal(x, dtype.valueType)
-            for k, x in v.items()
+            _json.dumps(k, ensure_ascii=False) + ":" + _to_json_literal(v[k], dtype.valueType)
+            for k in sorted(v, key=str)
         ]
         return "{" + ",".join(parts) + "}"
     if isinstance(dtype, T.ArrayType) and isinstance(v, list):
@@ -265,6 +279,14 @@ def _to_json_literal(v: Any, dtype: T.DataType) -> str:
         v, (int, float)
     ):
         return str(int(v))
+    if isinstance(dtype, T.StringType) and not isinstance(v, str):
+        # string-typed column (e.g. from_json's map<string,string> collapse):
+        # scalars coerce to their JSON-text rendering, matching from_json's
+        # own coercion (1 -> "1", true -> "true")
+        if isinstance(v, bool):
+            return _json.dumps("true" if v else "false")
+        if isinstance(v, (int, float)):
+            return _json.dumps(repr(float(v)) if isinstance(v, float) else str(v))
     return _json.dumps(v, ensure_ascii=False, separators=(",", ":"), sort_keys=True)
 
 
@@ -348,7 +370,8 @@ class RuleBinder:
             if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
                 jvals = [_to_json_literal(v, dtype) for v in vals]
                 add(
-                    (lambda col, j=jvals: ~F.to_json(col).isin(j) if j else F.lit(True)),
+                    (lambda col, j=jvals, dt=dtype: ~_canonical_json_col(col, dt).isin(j)
+                     if j else F.lit(True)),
                     ErrorCode.ENUM_MISMATCH.value,
                     self_path,
                     lambda col, dt=dtype: py_str(col, dt),
@@ -367,7 +390,8 @@ class RuleBinder:
                 # to_json rendering against the value rendered the same way
                 cjs = [_to_json_literal(v, dtype) for v in cvals]
                 add(
-                    (lambda col, j=cjs: (F.to_json(col) != F.lit(j[0])) if j else F.lit(True)),
+                    (lambda col, j=cjs, dt=dtype: (_canonical_json_col(col, dt) != F.lit(j[0]))
+                     if j else F.lit(True)),
                     ErrorCode.CONST_MISMATCH.value,
                     self_path,
                     lambda col, dt=dtype: py_str(col, dt),
@@ -914,25 +938,11 @@ class RuleBinder:
         # `properties` are EXCLUDED (pyeval: `if k not in rule.properties`)
         pattern_list: list[str] = []
         for pat, sub in rule.pattern_properties.items():
-            try:
-                re.compile(pat)
-            except re.error:
-                continue
-            from json_schema_py_spark.schema.model import SchemaCompileError
-            from json_schema_py_spark.schema.regex_dialect import (
-                java_compile_ok,
-                to_java_pattern,
-                warn_if_nonportable,
-            )
+            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            warn_if_nonportable(pat)
-            jpat = to_java_pattern(pat)
-            if java_compile_ok(jpat) is False:
-                raise SchemaCompileError(
-                    f"patternProperties key {pat!r} has no java.util.regex "
-                    "equivalent; validate this ruleset via "
-                    "plans.json_docs.validate_json_exact (CPython semantics)"
-                )
+            jpat = checked_java_pattern(pat, "patternProperties")
+            if jpat is None:  # Python-invalid: skipped (reference semantics)
+                continue
             pattern_list.append(jpat)
             b = self.bind(sub, val_dtype)
             nv = _null_value_viols(sub, self.verbose)

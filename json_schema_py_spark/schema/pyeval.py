@@ -151,18 +151,22 @@ def evaluate(
             ]
         out.extend(errs)
     if rule.any_of:
-        branch_errs = [
-            evaluate(b, value, path, verbose, truncate_branch_paths)
-            for b in rule.any_of
-        ]
-        if all(branch_errs):
-            out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
-            if verbose:
+        if verbose:
+            branch_errs = [
+                evaluate(b, value, path, verbose, truncate_branch_paths)
+                for b in rule.any_of
+            ]
+            if all(branch_errs):
+                out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
                 for i, errs in enumerate(branch_errs):
                     out.extend(
                         (f"anyOf[{i}]:{c}", path if truncate_branch_paths else p, o)
                         for c, p, o in errs
                     )
+        # non-verbose: short-circuit on the first matching branch — this is
+        # the exact-path per-row hot loop (review finding r02)
+        elif all(evaluate(b, value, path) for b in rule.any_of):
+            out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
     if rule.one_of:
         matches = [i for i, b in enumerate(rule.one_of) if not evaluate(b, value, path)]
         if len(matches) == 0:

@@ -72,3 +72,29 @@ def warn_if_nonportable(pattern: str, where: str = "") -> list[str]:
             stacklevel=3,
         )
     return issues
+
+
+def checked_java_pattern(pattern: str, where: str = "") -> "str | None":
+    """Shared compile-time gate for every rlike site: returns the translated
+    Java pattern, ``None`` when the pattern is invalid under Python ``re``
+    (callers mirror the reference: lazy SCHEMA_INVALID for value patterns,
+    skip for patternProperties keys), and raises SchemaCompileError when the
+    translation has no java.util.regex equivalent — a per-row JVM
+    PatternSyntaxException must never be the first signal."""
+    import re as _re
+
+    from json_schema_py_spark.schema.model import SchemaCompileError
+
+    try:
+        _re.compile(pattern)
+    except _re.error:
+        return None
+    warn_if_nonportable(pattern, where)
+    jp = to_java_pattern(pattern)
+    if java_compile_ok(jp) is False:
+        raise SchemaCompileError(
+            f"pattern {pattern!r}{f' at {where}' if where else ''} has no "
+            "java.util.regex equivalent; validate this ruleset via "
+            "plans.json_docs.validate_json_exact (CPython semantics)"
+        )
+    return jp

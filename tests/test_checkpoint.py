@@ -282,3 +282,23 @@ def test_cross_row_attribution_respects_unique_key_and_is_exact(spark):
     )
     n_viol = run2.violations.count()
     assert run2.verdicts.agg(F.sum("violations")).collect()[0][0] == n_viol
+
+
+def test_null_keyed_cross_row_violations_fail_a_nullkey_verdict(spark):
+    """Review finding r02: an FK violation on a NULL-keyed row can't attach
+    to a partition by key — it must surface on a failing __nullkey__ row,
+    never silently vanish from the verdicts."""
+    from json_schema_py_spark.plans.validation import run_validation
+
+    dim = spark.createDataFrame([("m/0.png",)], "media_ref string")
+    df = spark.createDataFrame(
+        [(None, [("media", None, "m/ghost.png", 0)]),
+         ("doc-a", [("media", None, "m/0.png", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    run = run_validation(df, {"noop": {"type": "object"}}, media_dim=dim, unique_key=None)
+    assert run.violations.where(F.col("rule_id") == "REFERENTIAL_VIOLATION").count() == 1
+    nk = run.verdicts.where(F.col("partition_key") == "__nullkey__").collect()
+    assert len(nk) == 1 and not nk[0]["pass"] and nk[0]["violations"] == 1
+    # verdict totals still cover the null-keyed violation
+    assert run.verdicts.agg(F.sum("violations")).collect()[0][0] == 1
