@@ -60,11 +60,13 @@ def assign_token_spans(
             f"assign_token_spans needs a numeric {id_col!r} for deterministic "
             "range bucketing; derive an index column for string ids first"
         )
-    # the tokenized projection feeds THREE actions (min/max, bucket totals,
-    # the returned plan) — persist it so the corpus tokenizes once (review
-    # finding r02); narrow (id, count) columns keep the cache small. Callers
-    # running at full lake scale can instead materialize this projection to
-    # the lake and call with text_col pre-counted.
+    # the tokenized projection feeds two driver-side collects plus the
+    # returned plan — persist through the collects so the corpus tokenizes
+    # once there, then UNPERSIST before returning (a leaked cache entry per
+    # call pins executor memory forever; the returned plan recomputes the
+    # narrow projection once at its own action). At full lake scale,
+    # materialize this projection to the lake instead and pass it in
+    # pre-counted.
     base = docs.select(
         F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
     ).persist()
@@ -74,6 +76,7 @@ def assign_token_spans(
     mm = base.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
     lo, hi = mm["lo"], mm["hi"]
     if lo is None:
+        base.unpersist(blocking=False)
         return base.select(
             "doc_id", "n_tokens",
             F.lit(None).cast("long").alias("start_tok"),
@@ -88,6 +91,7 @@ def assign_token_spans(
         r["_b"]: r["_sum"]
         for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_sum")).collect()
     }
+    base.unpersist(blocking=False)
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((int(b), acc))

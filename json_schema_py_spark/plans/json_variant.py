@@ -595,11 +595,12 @@ class VariantBinder:
                             ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
                             _key_path(path, k),
                             # _obs: Python-ish scalar rendering ('x' not '"x"',
-                            # 'True' not 'true'), parity with pyeval/py_str
+                            # 'True' not 'true'), parity with pyeval/py_str;
+                            # jt is the BOUND lambda variable (no-CSE rule)
                             F.get(
                                 F.transform(
-                                    F.array(F.try_element_at(m, k)),
-                                    lambda c: _obs(c, _jt(c)),
+                                    F.array(_jt(F.try_element_at(m, k))),
+                                    lambda jt: _obs(F.try_element_at(m, k), jt),
                                 ),
                                 0,
                             ),
@@ -647,7 +648,15 @@ def _obs(v: Column, jt: Column) -> Column:
         .when(jt == "boolean",
               F.when(F.try_variant_get(v, "$", "boolean"), F.lit("True")).otherwise(F.lit("False")))
         .when(jt == "null", F.lit("None"))
-        .when(jt == "integer", F.try_variant_get(v, "$", "bigint").cast("string"))
+        .when(
+            jt == "integer",
+            # >int64 integers live in DECIMAL(p>=19,0) variants — the bigint
+            # cast overflows to NULL, so fall back to a decimal rendering
+            F.coalesce(
+                F.try_variant_get(v, "$", "bigint").cast("string"),
+                F.try_variant_get(v, "$", "decimal(38,0)").cast("string"),
+            ),
+        )
         .when(jt == "number", F.try_variant_get(v, "$", "double").cast("string"))
         .otherwise(F.to_json(v))
     )

@@ -85,6 +85,24 @@ def _null_value_viols(rule: Rule, verbose: bool = False) -> list:
     return evaluate(rule, None, "", verbose)
 
 
+def _java_double_str(v: float) -> str:
+    """Render a double the way Java's Double.toString (Jackson) does:
+    plain decimal in [1e-3, 1e7), otherwise mantissa E exponent ('1.0E30')."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return str(v)
+    av = abs(v)
+    if av != 0.0 and (av < 1e-3 or av >= 1e7):
+        mant, exp = f"{v:E}".split("E")
+        mant = mant.rstrip("0").rstrip(".")
+        if "." not in mant:
+            mant += ".0"
+        return f"{mant}E{int(exp)}"
+    r = repr(v)
+    if "." not in r and "e" not in r and "E" not in r:
+        r += ".0"
+    return r
+
+
 def _canonical_json_col(col: Column, dtype: T.DataType) -> Column:
     """to_json rendering made comparable with _to_json_literal: MAP columns
     sort entries by key first (to_json renders maps in document order, which
@@ -92,7 +110,16 @@ def _canonical_json_col(col: Column, dtype: T.DataType) -> Column:
     order is the schema's). Maps NESTED inside the value keep data order —
     a documented deviation for composite enum/const on such shapes."""
     if isinstance(dtype, T.MapType):
-        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col))))
+        # sort entries by KEY with an explicit comparator: the default
+        # array_sort needs a fully ORDERABLE element, which a map-valued
+        # entry struct is not (review finding r02c)
+        entries = F.array_sort(
+            F.map_entries(col),
+            lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+            .when(a["key"] > b["key"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        return F.to_json(F.map_from_entries(entries))
     return F.to_json(col)
 
 
@@ -282,11 +309,14 @@ def _to_json_literal(v: Any, dtype: T.DataType) -> str:
     if isinstance(dtype, T.StringType) and not isinstance(v, str):
         # string-typed column (e.g. from_json's map<string,string> collapse):
         # scalars coerce to their JSON-text rendering, matching from_json's
-        # own coercion (1 -> "1", true -> "true")
+        # own coercion (1 -> "1", true -> "true", 1e30 -> "1.0E30" — Jackson
+        # renders doubles Java-style, not Python-repr-style)
         if isinstance(v, bool):
             return _json.dumps("true" if v else "false")
         if isinstance(v, (int, float)):
-            return _json.dumps(repr(float(v)) if isinstance(v, float) else str(v))
+            return _json.dumps(
+                _java_double_str(float(v)) if isinstance(v, float) else str(v)
+            )
     return _json.dumps(v, ensure_ascii=False, separators=(",", ":"), sort_keys=True)
 
 
@@ -422,29 +452,14 @@ class RuleBinder:
                     sstr,
                 )
             if rule.pattern is not None:
-                from json_schema_py_spark.schema.model import SchemaCompileError
                 from json_schema_py_spark.schema.regex_dialect import (
-                    java_compile_ok,
-                    to_java_pattern,
-                    warn_if_nonportable,
+                    checked_java_pattern,
                 )
 
-                warn_if_nonportable(rule.pattern)
-                java_pattern = to_java_pattern(rule.pattern)
-                try:
-                    re.compile(rule.pattern)
-                    pattern_ok = True
-                except re.error:
-                    pattern_ok = False
-                if pattern_ok and java_compile_ok(java_pattern) is False:
-                    # fail FAST at compile time instead of crashing rlike
-                    # per-row on the executors
-                    raise SchemaCompileError(
-                        f"pattern {rule.pattern!r} has no java.util.regex "
-                        "equivalent; validate this ruleset via "
-                        "plans.json_docs.validate_json_exact (CPython semantics)"
-                    )
-                if pattern_ok:
+                # one shared gate for every rlike site: translate or fail
+                # fast at compile time, never a per-row PatternSyntaxException
+                java_pattern = checked_java_pattern(rule.pattern)
+                if java_pattern is not None:
                     # rlike is search-anchored like re.search
                     # (reference: json_schema/constraints/strings.py:93)
                     add(

@@ -89,8 +89,23 @@ def checked_java_pattern(pattern: str, where: str = "") -> "str | None":
         _re.compile(pattern)
     except _re.error:
         return None
-    warn_if_nonportable(pattern, where)
     jp = to_java_pattern(pattern)
+    leftover = portability_issues(jp)
+    if leftover:
+        # constructs the translator could NOT handle: genuine dialect risk
+        warn_if_nonportable(jp, where)
+    elif portability_issues(pattern):
+        # handled mechanically (named groups/backrefs, comment groups):
+        # inform, but do NOT steer users off the fast Column path
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"pattern {pattern!r}{f' at {where}' if where else ''} used "
+            "Python-only spellings that were mechanically translated to the "
+            "java.util.regex dialect; semantics preserved — no action needed.",
+            RegexDialectWarning,
+            stacklevel=3,
+        )
     if java_compile_ok(jp) is False:
         raise SchemaCompileError(
             f"pattern {pattern!r}{f' at {where}' if where else ''} has no "

@@ -8,11 +8,14 @@ stale after the unrolling and LSH-diet changes).
 
 from __future__ import annotations
 
+import os
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 MAX_LINE = 400  # elide giant rule-expression bodies
 
 
@@ -103,7 +106,7 @@ def main() -> int:
     ]
     for title, blurb, df in sections:
         parts.append(f"\n## {title}\n\n{blurb}\n\n```\n{formatted(df, spark)}\n```\n")
-    with open("/root/repo/PLANS.md", "w") as fh:
+    with open(REPO / "PLANS.md", "w") as fh:
         fh.write("".join(parts))
     print("PLANS.md regenerated")
     return 0
