@@ -144,166 +144,278 @@ class VariantBinder:
     ``v`` is a PRESENT variant value (possibly JSON null). Emission order
     mirrors pyeval (type gate → enum/const → type-specific → object keywords
     → logical ops); open-object key iteration follows the variant's sorted
-    key order (documented deviation)."""
+    key order (documented deviation).
+
+    Structure (static-binder doctrine, compiler.py): ONE ordered entry
+    sequence per node — ("check", emit(v,jt,path), cond(v,jt)) for leaves,
+    ("child", viol(v,jt,path), fires(v,jt)) for subtrees — from which BOTH
+    the allocation-free boolean fast path and the violation constructor
+    assemble, so their parity is structural, not by-convention. ``jt`` is
+    the node's runtime-type token, bound ONCE per node as a lambda variable
+    (schema_of_variant when-chain; expressions have no CSE)."""
 
     def bind(self, rule: Rule):
-        # PERF (compiler.py module doc): ``jt`` is a schema_of_variant
-        # when-chain referenced by EVERY check at the node — expressions have
-        # no CSE, so it must be bound ONCE as a lambda variable via a
-        # single-element transform, not inlined per reference.
+        seq = self._node_seq(rule)
+        gate = rule.types
+
         def viol(v: Column, path: Column) -> Column:
             def with_jt(jt: Column) -> Column:
-                body = self._node_viols(rule, v, jt, path)
-                if rule.types is not None:
-                    gate = _type_ok(jt, rule.types)
+                arrs: list[Column] = []
+                pending: list = []
+
+                def flush() -> None:
+                    if pending:
+                        arrs.append(
+                            F.filter(
+                                F.array(*[e(v, jt, path) for e in pending]).cast(
+                                    VIOLATION_TYPE
+                                ),
+                                lambda x: x.isNotNull(),
+                            )
+                        )
+                        pending.clear()
+
+                for kind, viol_side, _fires_side in seq:
+                    if kind == "check":
+                        pending.append(viol_side)
+                    else:
+                        flush()
+                        arrs.append(viol_side(v, jt, path))
+                flush()
+                body = (
+                    arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
+                )
+                if gate is not None:
                     terr = F.array(
                         _viol(ErrorCode.TYPE_ERROR.value, path, _obs(v, jt))
                     ).cast(VIOLATION_TYPE)
-                    body = F.when(gate, body).otherwise(terr)
+                    body = F.when(_type_ok(jt, gate), body).otherwise(terr)
                 return body
 
             return F.get(F.transform(F.array(_jt(v)), with_jt), 0)
 
         def fires(v: Column) -> Column:
             def with_jt(jt: Column) -> Column:
-                body = self._node_fires(rule, v, jt)
-                if rule.types is not None:
-                    return F.when(_type_ok(jt, rule.types), body).otherwise(F.lit(True))
+                conds = [fires_side(v, jt) for _k, _v, fires_side in seq]
+                body = reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
+                if gate is not None:
+                    return F.when(_type_ok(jt, gate), body).otherwise(F.lit(True))
                 return body
 
             return F.get(F.transform(F.array(_jt(v)), with_jt), 0)
 
         return viol, fires
 
-    # ---------------- node assembly (pyeval emission order) ----------------
+    # -------------- node entries (pyeval emission order) --------------
 
-    def _node_parts(self, rule: Rule, v: Column, jt: Column, path: Column) -> list[Column]:
-        parts: list[Column] = []
+    def _node_seq(self, rule: Rule) -> list:
+        seq: list = []
 
-        def leaf(cond: Column, code: str, p: Column, obs: Column) -> None:
-            parts.append(
-                F.filter(
-                    F.array(_maybe(cond, code, p, obs)).cast(VIOLATION_TYPE),
-                    lambda x: x.isNotNull(),
+        def check(cond, code: str, obs=None, path_fn=None) -> None:
+            o = obs or _obs
+            pf = path_fn or (lambda path: path)
+            seq.append(
+                (
+                    "check",
+                    lambda v, jt, path, c=cond, o=o, cd=code, pf=pf: _maybe(
+                        c(v, jt), cd, pf(path), o(v, jt)
+                    ),
+                    cond,
                 )
             )
 
+        s_of = lambda v: F.try_variant_get(v, "$", "string")  # noqa: E731
+        d_of = lambda v: F.try_variant_get(v, "$", "double")  # noqa: E731
+        arr_of = lambda v: F.try_variant_get(v, "$", "array<variant>")  # noqa: E731
+        s_obs = lambda v, jt: s_of(v)  # noqa: E731
+
         # enum / const
         if rule.enum is not None:
-            match = (
-                reduce(lambda a, b: a | b, [_eq_value(v, jt, e) for e in rule.enum])
-                if rule.enum
-                else F.lit(False)
-            )
-            leaf(~match, ErrorCode.ENUM_MISMATCH.value, path, _obs(v, jt))
+            vals = list(rule.enum)
+
+            def enum_cond(v, jt, vals=tuple(vals)):
+                if not vals:
+                    return F.lit(True)
+                return ~reduce(lambda a, b: a | b, [_eq_value(v, jt, e) for e in vals])
+
+            check(enum_cond, ErrorCode.ENUM_MISMATCH.value)
         if rule.const_set:
-            leaf(~_eq_value(v, jt, rule.const), ErrorCode.CONST_MISMATCH.value, path, _obs(v, jt))
+            check(
+                lambda v, jt, t=rule.const: ~_eq_value(v, jt, t),
+                ErrorCode.CONST_MISMATCH.value,
+            )
 
         # strings
-        s = F.try_variant_get(v, "$", "string")
-        is_s = jt == "string"
         if rule.min_length is not None:
-            leaf(is_s & (F.length(s) < rule.min_length), ErrorCode.STRING_TOO_SHORT.value, path, s)
+            check(
+                lambda v, jt, n=rule.min_length: (jt == "string") & (F.length(s_of(v)) < n),
+                ErrorCode.STRING_TOO_SHORT.value, obs=s_obs,
+            )
         if rule.max_length is not None:
-            leaf(is_s & (F.length(s) > rule.max_length), ErrorCode.STRING_TOO_LONG.value, path, s)
+            check(
+                lambda v, jt, n=rule.max_length: (jt == "string") & (F.length(s_of(v)) > n),
+                ErrorCode.STRING_TOO_LONG.value, obs=s_obs,
+            )
         if rule.pattern is not None:
             from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
             jp = checked_java_pattern(rule.pattern)
             if jp is None:  # Python-invalid: lazy SCHEMA_INVALID (reference)
-                leaf(is_s, ErrorCode.SCHEMA_INVALID.value, path, s)
+                check(lambda v, jt: jt == "string", ErrorCode.SCHEMA_INVALID.value, obs=s_obs)
             else:
-                leaf(is_s & ~s.rlike(jp), ErrorCode.PATTERN_MISMATCH.value, path, s)
+                check(
+                    lambda v, jt, p=jp: (jt == "string") & ~s_of(v).rlike(p),
+                    ErrorCode.PATTERN_MISMATCH.value, obs=s_obs,
+                )
 
         # numbers (bool is never a number: jt dispatch already excludes it)
-        d = F.try_variant_get(v, "$", "double")
-        is_n = jt.isin("integer", "number")
+        is_n = lambda jt: jt.isin("integer", "number")  # noqa: E731
         if rule.minimum is not None:
-            bad = d <= float(rule.minimum) if rule.exclusive_minimum else d < float(rule.minimum)
-            leaf(is_n & bad, ErrorCode.NUMBER_TOO_SMALL.value, path, _obs(v, jt))
+            lo, ex = float(rule.minimum), rule.exclusive_minimum
+            check(
+                lambda v, jt, lo=lo, ex=ex: is_n(jt)
+                & ((d_of(v) <= lo) if ex else (d_of(v) < lo)),
+                ErrorCode.NUMBER_TOO_SMALL.value,
+            )
         if rule.maximum is not None:
-            bad = d >= float(rule.maximum) if rule.exclusive_maximum else d > float(rule.maximum)
-            leaf(is_n & bad, ErrorCode.NUMBER_TOO_LARGE.value, path, _obs(v, jt))
+            hi, ex = float(rule.maximum), rule.exclusive_maximum
+            check(
+                lambda v, jt, hi=hi, ex=ex: is_n(jt)
+                & ((d_of(v) >= hi) if ex else (d_of(v) > hi)),
+                ErrorCode.NUMBER_TOO_LARGE.value,
+            )
         if rule.multiple_of is not None:
             k = float(rule.multiple_of)
-            m = F.pmod(d, F.lit(k))
-            ok = (m < _FLOAT_TOL) | (F.abs(m - F.lit(k)) < _FLOAT_TOL)
-            leaf(is_n & ~ok, ErrorCode.NUMBER_NOT_MULTIPLE.value, path, _obs(v, jt))
+
+            def mult_cond(v, jt, k=k):
+                m = F.pmod(d_of(v), F.lit(k))
+                return is_n(jt) & ~((m < _FLOAT_TOL) | (F.abs(m - F.lit(k)) < _FLOAT_TOL))
+
+            check(mult_cond, ErrorCode.NUMBER_NOT_MULTIPLE.value)
 
         # arrays
-        arr = F.try_variant_get(v, "$", "array<variant>")
-        is_a = jt == "array"
+        sz_obs = lambda v, jt: F.size(arr_of(v)).cast("string")  # noqa: E731
         if rule.min_items is not None:
-            leaf(is_a & (F.size(arr) < rule.min_items), ErrorCode.ARRAY_TOO_SHORT.value,
-                 path, F.size(arr).cast("string"))
-        if rule.max_items is not None:
-            leaf(is_a & (F.size(arr) > rule.max_items), ErrorCode.ARRAY_TOO_LONG.value,
-                 path, F.size(arr).cast("string"))
-        if rule.unique_items:
-            # first duplicate index via the same bound-variable probe as the
-            # static binder; equality on to_json renderings
-            def dup_idx(rs: Column) -> Column:
-                js = F.transform(rs, lambda x: F.to_json(x))
-                idxs = F.filter(
-                    F.transform(js, lambda x, i: i),
-                    lambda i: F.exists(
-                        F.slice(js, F.lit(1), i), lambda y: y.eqNullSafe(F.get(js, i))
-                    ),
-                )
-                return F.get(idxs, 0)
-
-            di = F.get(F.transform(F.array(arr), dup_idx), 0)
-            parts.append(
-                F.filter(
-                    F.array(
-                        _maybe(
-                            is_a & di.isNotNull(),
-                            ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value,
-                            F.concat(path, F.lit("/"), di.cast("string")),
-                            F.to_json(F.get(arr, di)),
-                        )
-                    ).cast(VIOLATION_TYPE),
-                    lambda x: x.isNotNull(),
-                )
+            check(
+                lambda v, jt, n=rule.min_items: (jt == "array") & (F.size(arr_of(v)) < n),
+                ErrorCode.ARRAY_TOO_SHORT.value, obs=sz_obs,
             )
+        if rule.max_items is not None:
+            check(
+                lambda v, jt, n=rule.max_items: (jt == "array") & (F.size(arr_of(v)) > n),
+                ErrorCode.ARRAY_TOO_LONG.value, obs=sz_obs,
+            )
+        if rule.unique_items:
+            # cheap distinct-size predicate on the fires side; precise
+            # first-duplicate locate on the emit side (flagged rows only) —
+            # the same deliberate asymmetry as the static binder
+            def uq_cond(v, jt):
+                js = F.transform(arr_of(v), lambda x: F.to_json(x))
+                return (jt == "array") & (F.size(F.array_distinct(js)) < F.size(js))
+
+            def uq_emit(v, jt, path):
+                def dup_idx(rs: Column) -> Column:
+                    js = F.transform(rs, lambda x: F.to_json(x))
+                    idxs = F.filter(
+                        F.transform(js, lambda x, i: i),
+                        lambda i: F.exists(
+                            F.slice(js, F.lit(1), i), lambda y: y.eqNullSafe(F.get(js, i))
+                        ),
+                    )
+                    return F.get(idxs, 0)
+
+                arr = arr_of(v)
+                di = F.get(F.transform(F.array(arr), dup_idx), 0)
+                return _maybe(
+                    (jt == "array") & di.isNotNull(),
+                    ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value,
+                    F.concat(path, F.lit("/"), di.cast("string")),
+                    F.to_json(F.get(arr, di)),
+                )
+
+            seq.append(("check", uq_emit, uq_cond))
         if rule.items is not None:
-            iv, _if = self.bind(rule.items)
-            parts.append(
-                F.when(
-                    is_a,
+            iv, ifires = self.bind(rule.items)
+
+            def items_viol(v, jt, path, iv=iv):
+                return F.when(
+                    jt == "array",
                     F.flatten(
                         F.transform(
-                            arr,
+                            arr_of(v),
                             lambda x, i: iv(x, F.concat(path, F.lit("/"), i.cast("string"))),
                         )
                     ),
                 ).otherwise(_empty())
+
+            seq.append(
+                (
+                    "child",
+                    items_viol,
+                    lambda v, jt, f=ifires: (jt == "array") & F.exists(arr_of(v), lambda x: f(x)),
+                )
             )
 
-        # objects (open: via map<string,variant> cast; keys are SORTED)
+        # objects (open: via map<string,variant> cast; keys are SORTED; the
+        # map cast is bound ONCE as a lambda variable per side)
         if self._has_object_keywords(rule):
-            parts.append(self._object_viols(rule, v, jt, path))
+            oseq = self._object_seq(rule)
+
+            def obj_viol(v, jt, path, oseq=tuple(oseq)):
+                m_expr = F.try_variant_get(v, "$", "map<string,variant>")
+                body = F.get(
+                    F.transform(
+                        F.array(m_expr),
+                        lambda m: self._assemble_obj_viols(oseq, m, path),
+                    ),
+                    0,
+                )
+                return F.when(jt == "object", body).otherwise(_empty())
+
+            def obj_fires(v, jt, oseq=tuple(oseq)):
+                m_expr = F.try_variant_get(v, "$", "map<string,variant>")
+                return (jt == "object") & F.get(
+                    F.transform(
+                        F.array(m_expr), lambda m: self._assemble_obj_fires(oseq, m)
+                    ),
+                    0,
+                )
+
+            seq.append(("child", obj_viol, obj_fires))
 
         # logical combinators
         for branch in rule.all_of:
-            bv, _bf = self.bind(branch)
-            parts.append(bv(v, path))
-        if rule.any_of:
-            fires = [self.bind(b)[1] for b in rule.any_of]
-            all_fail = reduce(lambda a, b: a & b, [f(v) for f in fires])
-            leaf(all_fail, ErrorCode.ANY_OF_NO_MATCH.value, path, F.lit(""))
-        if rule.one_of:
-            fires = [self.bind(b)[1] for b in rule.one_of]
-            n = reduce(lambda a, b: a + b, [(~f(v)).cast("int") for f in fires])
-            idx_list = F.concat_ws(
-                ",",
-                F.filter(
-                    F.array(*[F.when(~f(v), F.lit(str(i))) for i, f in enumerate(fires)]),
-                    lambda x: x.isNotNull(),
-                ),
+            bv, bf = self.bind(branch)
+            seq.append(
+                (
+                    "child",
+                    lambda v, jt, path, b=bv: b(v, path),
+                    lambda v, jt, b=bf: b(v),
+                )
             )
-            parts.append(
-                F.filter(
+        if rule.any_of:
+            branch_fires = [self.bind(b)[1] for b in rule.any_of]
+
+            def any_cond(v, jt, bs=tuple(branch_fires)):
+                return reduce(lambda a, b: a & b, [f(v) for f in bs])
+
+            check(any_cond, ErrorCode.ANY_OF_NO_MATCH.value, obs=lambda v, jt: F.lit(""))
+        if rule.one_of:
+            branch_fires = [self.bind(b)[1] for b in rule.one_of]
+
+            def match_count(v, bs=tuple(branch_fires)):
+                return reduce(lambda a, b: a + b, [(~f(v)).cast("int") for f in bs])
+
+            def one_viol(v, jt, path, bs=tuple(branch_fires)):
+                n = match_count(v, bs)
+                idx_list = F.concat_ws(
+                    ",",
+                    F.filter(
+                        F.array(*[F.when(~f(v), F.lit(str(i))) for i, f in enumerate(bs)]),
+                        lambda x: x.isNotNull(),
+                    ),
+                )
+                return F.filter(
                     F.array(
                         _maybe(n == 0, ErrorCode.ONE_OF_NO_MATCH.value, path, F.lit("")),
                         _maybe(n > 1, ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, F.lit("")),
@@ -311,169 +423,16 @@ class VariantBinder:
                     ).cast(VIOLATION_TYPE),
                     lambda x: x.isNotNull(),
                 )
-            )
+
+            seq.append(("child", one_viol, lambda v, jt: match_count(v) != 1))
         if rule.not_ is not None:
             _nv, nf = self.bind(rule.not_)
-            leaf(~nf(v), ErrorCode.NOT_SCHEMA_MATCHED.value, path, F.lit(""))
-
-        return parts
-
-    def _node_viols(self, rule: Rule, v: Column, jt: Column, path: Column) -> Column:
-        parts = self._node_parts(rule, v, jt, path)
-        if not parts:
-            return _empty()
-        return parts[0] if len(parts) == 1 else F.concat(*parts)
-
-    def _node_fires(self, rule: Rule, v: Column, jt: Column) -> Column:
-        """Allocation-free boolean fast path (static binder doctrine): pure
-        predicates only — no structs, paths, or arrays-of-violations. Clean
-        values (the common case) never build a violation object."""
-        conds: list[Column] = []
-
-        if rule.enum is not None:
-            match = (
-                reduce(lambda a, b: a | b, [_eq_value(v, jt, e) for e in rule.enum])
-                if rule.enum
-                else F.lit(False)
-            )
-            conds.append(~match)
-        if rule.const_set:
-            conds.append(~_eq_value(v, jt, rule.const))
-
-        s = F.try_variant_get(v, "$", "string")
-        is_s = jt == "string"
-        if rule.min_length is not None:
-            conds.append(is_s & (F.length(s) < rule.min_length))
-        if rule.max_length is not None:
-            conds.append(is_s & (F.length(s) > rule.max_length))
-        if rule.pattern is not None:
-            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
-
-            jp = checked_java_pattern(rule.pattern)
-            conds.append(is_s if jp is None else (is_s & ~s.rlike(jp)))
-
-        d = F.try_variant_get(v, "$", "double")
-        is_n = jt.isin("integer", "number")
-        if rule.minimum is not None:
-            bad = d <= float(rule.minimum) if rule.exclusive_minimum else d < float(rule.minimum)
-            conds.append(is_n & bad)
-        if rule.maximum is not None:
-            bad = d >= float(rule.maximum) if rule.exclusive_maximum else d > float(rule.maximum)
-            conds.append(is_n & bad)
-        if rule.multiple_of is not None:
-            k = float(rule.multiple_of)
-            m = F.pmod(d, F.lit(k))
-            conds.append(is_n & ~((m < _FLOAT_TOL) | (F.abs(m - F.lit(k)) < _FLOAT_TOL)))
-
-        arr = F.try_variant_get(v, "$", "array<variant>")
-        is_a = jt == "array"
-        if rule.min_items is not None:
-            conds.append(is_a & (F.size(arr) < rule.min_items))
-        if rule.max_items is not None:
-            conds.append(is_a & (F.size(arr) > rule.max_items))
-        if rule.unique_items:
-            js = F.transform(arr, lambda x: F.to_json(x))
-            conds.append(is_a & (F.size(F.array_distinct(js)) < F.size(js)))
-        if rule.items is not None:
-            _iv, ifires = self.bind(rule.items)
-            conds.append(is_a & F.exists(arr, lambda x: ifires(x)))
-
-        if self._has_object_keywords(rule):
-            m_expr = F.try_variant_get(v, "$", "map<string,variant>")
-            conds.append(
-                (jt == "object")
-                & F.get(
-                    F.transform(
-                        F.array(m_expr),
-                        lambda m: self._object_fires_bound(rule, m),
-                    ),
-                    0,
-                )
+            check(
+                lambda v, jt, f=nf: ~f(v),
+                ErrorCode.NOT_SCHEMA_MATCHED.value, obs=lambda v, jt: F.lit(""),
             )
 
-        for branch in rule.all_of:
-            _bv, bf = self.bind(branch)
-            conds.append(bf(v))
-        if rule.any_of:
-            fires = [self.bind(b)[1] for b in rule.any_of]
-            conds.append(reduce(lambda a, b: a & b, [f(v) for f in fires]))
-        if rule.one_of:
-            fires = [self.bind(b)[1] for b in rule.one_of]
-            n = reduce(lambda a, b: a + b, [(~f(v)).cast("int") for f in fires])
-            conds.append(n != 1)
-        if rule.not_ is not None:
-            _nv, nf = self.bind(rule.not_)
-            conds.append(~nf(v))
-
-        if not conds:
-            return F.lit(False)
-        return reduce(lambda a, b: a | b, conds)
-
-    def _object_fires_bound(self, rule: Rule, m: Column) -> Column:
-        keys = F.map_keys(m)
-        conds: list[Column] = []
-        n = F.size(keys)
-        if rule.min_properties is not None:
-            conds.append(n < rule.min_properties)
-        if rule.max_properties is not None:
-            conds.append(n > rule.max_properties)
-        for req in rule.required:
-            conds.append(~F.map_contains_key(m, F.lit(req)))
-        for dep_key, needed in rule.dependencies.items():
-            for b in needed:
-                conds.append(
-                    F.map_contains_key(m, F.lit(dep_key))
-                    & ~F.map_contains_key(m, F.lit(b))
-                )
-        if rule.property_names is not None:
-            _nv, nf = self.bind(rule.property_names)
-            conds.append(F.exists(keys, lambda k: _string_key_fires(nf, k)))
-        matched_static = list(rule.properties.keys())
-        for k, sub in rule.properties.items():
-            _sv, sf = self.bind(sub)
-            conds.append(
-                F.map_contains_key(m, F.lit(k)) & sf(F.try_element_at(m, F.lit(k)))
-            )
-        pattern_list = []
-        for pat, sub in rule.pattern_properties.items():
-            from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
-
-            jpat = checked_java_pattern(pat)
-            if jpat is None:  # Python-invalid: skipped (reference semantics)
-                continue
-            pattern_list.append(jpat)
-            _sv, sf = self.bind(sub)
-            skip = tuple(matched_static)
-
-            def pred(kcol: Column, p=jpat, s=skip) -> Column:
-                cond = kcol.rlike(p)
-                if s:
-                    cond = cond & ~kcol.isin(list(s))
-                return cond
-
-            conds.append(
-                F.exists(F.filter(keys, pred), lambda k: sf(F.try_element_at(m, k)))
-            )
-        ap = rule.additional_properties
-        if ap is not None:
-            skip = list(set(matched_static) | set(rule.exempt_properties))
-
-            def extra(kcol: Column) -> Column:
-                cond = ~kcol.isin(skip) if skip else F.lit(True)
-                for p in pattern_list:
-                    cond = cond & ~kcol.rlike(p)
-                return cond
-
-            if ap is False:
-                conds.append(F.exists(keys, extra))
-            elif isinstance(ap, Rule):
-                _av, af = self.bind(ap)
-                conds.append(
-                    F.exists(F.filter(keys, extra), lambda k: af(F.try_element_at(m, k)))
-                )
-        if not conds:
-            return F.lit(False)
-        return reduce(lambda a, b: a | b, conds)
+        return seq
 
     # ---------------- objects ----------------
 
@@ -490,137 +449,196 @@ class VariantBinder:
             or rule.additional_properties is not None
         )
 
-    def _object_viols(self, rule: Rule, v: Column, jt: Column, path: Column) -> Column:
-        # bind the map cast ONCE (lambda variable — see bind() PERF note)
-        m_expr = F.try_variant_get(v, "$", "map<string,variant>")
-        return F.get(
-            F.transform(
-                F.array(m_expr), lambda m: self._object_viols_bound(rule, m, jt, path)
-            ),
-            0,
-        )
+    def _object_seq(self, rule: Rule) -> list:
+        """Entries over a BOUND map value: ("check", emit(m, path), cond(m))
+        or ("child", viol(m, path), fires(m)) — one list serves both sides."""
+        oseq: list = []
 
-    def _object_viols_bound(
-        self, rule: Rule, m: Column, jt: Column, path: Column
-    ) -> Column:
-        keys = F.map_keys(m)
-        parts: list[Column] = []
-
-        def leaf(cond, code, p, obs):
-            parts.append(
-                F.filter(
-                    F.array(_maybe(cond, code, p, obs)).cast(VIOLATION_TYPE),
-                    lambda x: x.isNotNull(),
+        def check(cond, code: str, path_fn, obs) -> None:
+            oseq.append(
+                (
+                    "check",
+                    lambda m, path, c=cond, cd=code, pf=path_fn, o=obs: _maybe(
+                        c(m), cd, pf(m, path), o(m)
+                    ),
+                    cond,
                 )
             )
 
-        n = F.size(keys)
+        self_path = lambda m, path: path  # noqa: E731
+        none_obs = lambda m: F.lit("None")  # noqa: E731
+        n_of = lambda m: F.size(F.map_keys(m))  # noqa: E731
+
         if rule.min_properties is not None:
-            leaf(n < rule.min_properties, ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
-                 path, n.cast("string"))
+            check(
+                lambda m, n=rule.min_properties: n_of(m) < n,
+                ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value,
+                self_path, lambda m: n_of(m).cast("string"),
+            )
         if rule.max_properties is not None:
-            leaf(n > rule.max_properties, ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
-                 path, n.cast("string"))
+            check(
+                lambda m, n=rule.max_properties: n_of(m) > n,
+                ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value,
+                self_path, lambda m: n_of(m).cast("string"),
+            )
         for req in rule.required:
-            leaf(~F.map_contains_key(m, F.lit(req)), ErrorCode.REQUIRED_PROPERTY_MISSING.value,
-                 _child(path, req), F.lit("None"))
+            check(
+                lambda m, k=req: ~F.map_contains_key(m, F.lit(k)),
+                ErrorCode.REQUIRED_PROPERTY_MISSING.value,
+                lambda m, path, k=req: _child(path, k), none_obs,
+            )
         for dep_key, needed in rule.dependencies.items():
             for b in needed:
-                leaf(
-                    F.map_contains_key(m, F.lit(dep_key)) & ~F.map_contains_key(m, F.lit(b)),
-                    ErrorCode.DEPENDENCY_MISSING.value, _child(path, b), F.lit("None"),
+                check(
+                    lambda m, a=dep_key, k=b: F.map_contains_key(m, F.lit(a))
+                    & ~F.map_contains_key(m, F.lit(k)),
+                    ErrorCode.DEPENDENCY_MISSING.value,
+                    lambda m, path, k=b: _child(path, k), none_obs,
                 )
         if rule.property_names is not None:
             nv, nf = self.bind(rule.property_names)
-            parts.append(
-                F.flatten(
-                    F.transform(
-                        keys,
-                        lambda k: _as_string_variant_viols(nv, k, path),
-                    )
+            oseq.append(
+                (
+                    "child",
+                    lambda m, path, b=nv: F.flatten(
+                        F.transform(
+                            F.map_keys(m), lambda k: _as_string_variant_viols(b, k, path)
+                        )
+                    ),
+                    lambda m, f=nf: F.exists(
+                        F.map_keys(m), lambda k: _string_key_fires(f, k)
+                    ),
                 )
             )
         matched_static = list(rule.properties.keys())
         for k, sub in rule.properties.items():
-            sv, _sf = self.bind(sub)
-            child = F.try_element_at(m, F.lit(k))
-            parts.append(
-                F.when(
-                    F.map_contains_key(m, F.lit(k)), sv(child, _child(path, k))
-                ).otherwise(_empty())
+            sv, sf = self.bind(sub)
+            oseq.append(
+                (
+                    "child",
+                    lambda m, path, k=k, b=sv: F.when(
+                        F.map_contains_key(m, F.lit(k)),
+                        b(F.try_element_at(m, F.lit(k)), _child(path, k)),
+                    ).otherwise(_empty()),
+                    lambda m, k=k, f=sf: F.map_contains_key(m, F.lit(k))
+                    & f(F.try_element_at(m, F.lit(k))),
+                )
             )
-        pattern_list = []
+        pattern_list: list[str] = []
         for pat, sub in rule.pattern_properties.items():
             from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
-            jpat = checked_java_pattern(pat)
+            jpat = checked_java_pattern(pat, "patternProperties")
             if jpat is None:  # Python-invalid: skipped (reference semantics)
                 continue
             pattern_list.append(jpat)
-            sv, _sf = self.bind(sub)
-            skip = [k for k in matched_static]
+            sv, sf = self.bind(sub)
 
-            def pkeys(kcol: Column, p=jpat, s=tuple(skip)) -> Column:
-                cond = kcol.rlike(p)
-                if s:
-                    cond = cond & ~kcol.isin(list(s))
-                return cond
+            def pkeys(m, p=jpat, s=tuple(matched_static)):
+                def match(kcol: Column) -> Column:
+                    cond = kcol.rlike(p)
+                    if s:
+                        cond = cond & ~kcol.isin(list(s))
+                    return cond
 
-            parts.append(
-                F.flatten(
-                    F.transform(
-                        F.filter(keys, pkeys),
-                        lambda k: sv(
-                            F.try_element_at(m, k), _key_path(path, k)
-                        ),
-                    )
+                return F.filter(F.map_keys(m), match)
+
+            oseq.append(
+                (
+                    "child",
+                    lambda m, path, b=sv, pk=pkeys: F.flatten(
+                        F.transform(
+                            pk(m),
+                            lambda k: b(F.try_element_at(m, k), _key_path(path, k)),
+                        )
+                    ),
+                    lambda m, f=sf, pk=pkeys: F.exists(
+                        pk(m), lambda k: f(F.try_element_at(m, k))
+                    ),
                 )
             )
         ap = rule.additional_properties
         if ap is not None:
             skip = list(set(matched_static) | set(rule.exempt_properties))
 
-            def extra(kcol: Column) -> Column:
-                cond = ~kcol.isin(skip) if skip else F.lit(True)
-                for p in pattern_list:
-                    cond = cond & ~kcol.rlike(p)
-                return cond
+            def extra_keys(m, s=tuple(skip), ps=tuple(pattern_list)):
+                def extra(kcol: Column) -> Column:
+                    cond = ~kcol.isin(list(s)) if s else F.lit(True)
+                    for p in ps:
+                        cond = cond & ~kcol.rlike(p)
+                    return cond
 
-            ek = F.filter(keys, extra)
+                return F.filter(F.map_keys(m), extra)
+
             if ap is False:
-                parts.append(
-                    F.transform(
-                        ek,
-                        lambda k: _viol(
-                            ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
-                            _key_path(path, k),
-                            # _obs: Python-ish scalar rendering ('x' not '"x"',
-                            # 'True' not 'true'), parity with pyeval/py_str;
-                            # jt is the BOUND lambda variable (no-CSE rule)
-                            F.get(
-                                F.transform(
-                                    F.array(_jt(F.try_element_at(m, k))),
-                                    lambda jt: _obs(F.try_element_at(m, k), jt),
+                oseq.append(
+                    (
+                        "child",
+                        lambda m, path, ek=extra_keys: F.transform(
+                            ek(m),
+                            lambda k: _viol(
+                                ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
+                                _key_path(path, k),
+                                # _obs with the type token BOUND (no-CSE rule):
+                                # Python-ish scalar rendering, pyeval parity
+                                F.get(
+                                    F.transform(
+                                        F.array(_jt(F.try_element_at(m, k))),
+                                        lambda jt: _obs(F.try_element_at(m, k), jt),
+                                    ),
+                                    0,
                                 ),
-                                0,
                             ),
-                        ),
-                    ).cast(VIOLATION_TYPE)
-                )
-            elif isinstance(ap, Rule):
-                av, _af = self.bind(ap)
-                parts.append(
-                    F.flatten(
-                        F.transform(
-                            ek,
-                            lambda k: av(
-                                F.try_element_at(m, k), _key_path(path, k)
-                            ),
-                        )
+                        ).cast(VIOLATION_TYPE),
+                        lambda m, ek=extra_keys: F.size(ek(m)) > 0,
                     )
                 )
-        body = parts[0] if len(parts) == 1 else (F.concat(*parts) if parts else _empty())
-        return F.when(jt == "object", body).otherwise(_empty())
+            elif isinstance(ap, Rule):
+                av, af = self.bind(ap)
+                oseq.append(
+                    (
+                        "child",
+                        lambda m, path, b=av, ek=extra_keys: F.flatten(
+                            F.transform(
+                                ek(m),
+                                lambda k: b(F.try_element_at(m, k), _key_path(path, k)),
+                            )
+                        ),
+                        lambda m, f=af, ek=extra_keys: F.exists(
+                            ek(m), lambda k: f(F.try_element_at(m, k))
+                        ),
+                    )
+                )
+        return oseq
+
+    @staticmethod
+    def _assemble_obj_viols(oseq, m: Column, path: Column) -> Column:
+        arrs: list[Column] = []
+        pending: list = []
+
+        def flush() -> None:
+            if pending:
+                arrs.append(
+                    F.filter(
+                        F.array(*[e(m, path) for e in pending]).cast(VIOLATION_TYPE),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+                pending.clear()
+
+        for kind, viol_side, _fires_side in oseq:
+            if kind == "check":
+                pending.append(viol_side)
+            else:
+                flush()
+                arrs.append(viol_side(m, path))
+        flush()
+        return arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
+
+    @staticmethod
+    def _assemble_obj_fires(oseq, m: Column) -> Column:
+        conds = [fires_side(m) for _k, _v, fires_side in oseq]
+        return reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
 
 
 def _child(path: Column, key: str) -> Column:
