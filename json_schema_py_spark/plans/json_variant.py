@@ -10,9 +10,9 @@ semantics entirely JVM-side. (reference analogue: the per-document dynamic
 interpreter, json_schema/validator.py:31-108 — re-realized as expressions.)
 
 When to choose it (measured sf0.1 events, 100k small docs, local[32]):
-the exact pandas path is ~1.7x faster on this corpus (0.9s vs 1.5s clean;
-1.0s vs 2.5s at 50% violation rate) — per-doc CPython is cheap for small
-documents. The variant path wins operationally, not per-row: no Python
+the exact pandas path is ~1.4x faster on this corpus (0.9s vs 1.2s clean;
+1.0s vs 2.2s at 50% violation rate, post entry-sequence consolidation) —
+per-doc CPython is cheap for small documents. The variant path wins operationally, not per-row: no Python
 workers (no executor memory split, no Arrow hop), it composes into the
 same whole-stage plan as adjacent Column work, states Iceberg/Delta
 variant-column inputs natively (validate WITHOUT re-serializing to JSON
