@@ -137,6 +137,40 @@ def _eq_value(v: Column, jt: Column, target: Any) -> Column:
 _FLOAT_TOL = 1e-10
 
 
+def _assemble_viols(seq, invoke) -> Column:
+    """ONE assembly algorithm for every entry list: runs of consecutive
+    checks collapse into a single filtered array, child arrays concat in
+    place (emission order preserved). ``invoke`` binds the entry's viol
+    side to its arguments — (v, jt, path) at a node, (m, path) inside an
+    object — so node and object assembly share this code."""
+    arrs: list[Column] = []
+    pending: list = []
+
+    def flush() -> None:
+        if pending:
+            arrs.append(
+                F.filter(
+                    F.array(*[invoke(e) for e in pending]).cast(VIOLATION_TYPE),
+                    lambda x: x.isNotNull(),
+                )
+            )
+            pending.clear()
+
+    for kind, viol_side, _fires_side in seq:
+        if kind == "check":
+            pending.append(viol_side)
+        else:
+            flush()
+            arrs.append(invoke(viol_side))
+    flush()
+    return arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
+
+
+def _assemble_fires(seq, invoke) -> Column:
+    conds = [invoke(fires_side) for _k, _v, fires_side in seq]
+    return reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
+
+
 class VariantBinder:
     """pyeval.evaluate re-realized as Column expressions over variant values.
 
@@ -160,31 +194,7 @@ class VariantBinder:
 
         def viol(v: Column, path: Column) -> Column:
             def with_jt(jt: Column) -> Column:
-                arrs: list[Column] = []
-                pending: list = []
-
-                def flush() -> None:
-                    if pending:
-                        arrs.append(
-                            F.filter(
-                                F.array(*[e(v, jt, path) for e in pending]).cast(
-                                    VIOLATION_TYPE
-                                ),
-                                lambda x: x.isNotNull(),
-                            )
-                        )
-                        pending.clear()
-
-                for kind, viol_side, _fires_side in seq:
-                    if kind == "check":
-                        pending.append(viol_side)
-                    else:
-                        flush()
-                        arrs.append(viol_side(v, jt, path))
-                flush()
-                body = (
-                    arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
-                )
+                body = _assemble_viols(seq, lambda fn: fn(v, jt, path))
                 if gate is not None:
                     terr = F.array(
                         _viol(ErrorCode.TYPE_ERROR.value, path, _obs(v, jt))
@@ -196,8 +206,7 @@ class VariantBinder:
 
         def fires(v: Column) -> Column:
             def with_jt(jt: Column) -> Column:
-                conds = [fires_side(v, jt) for _k, _v, fires_side in seq]
-                body = reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
+                body = _assemble_fires(seq, lambda fn: fn(v, jt))
                 if gate is not None:
                     return F.when(_type_ok(jt, gate), body).otherwise(F.lit(True))
                 return body
@@ -211,14 +220,13 @@ class VariantBinder:
     def _node_seq(self, rule: Rule) -> list:
         seq: list = []
 
-        def check(cond, code: str, obs=None, path_fn=None) -> None:
+        def check(cond, code: str, obs=None) -> None:
             o = obs or _obs
-            pf = path_fn or (lambda path: path)
             seq.append(
                 (
                     "check",
-                    lambda v, jt, path, c=cond, o=o, cd=code, pf=pf: _maybe(
-                        c(v, jt), cd, pf(path), o(v, jt)
+                    lambda v, jt, path, c=cond, o=o, cd=code: _maybe(
+                        c(v, jt), cd, path, o(v, jt)
                     ),
                     cond,
                 )
@@ -561,14 +569,22 @@ class VariantBinder:
         if ap is not None:
             skip = list(set(matched_static) | set(rule.exempt_properties))
 
-            def extra_keys(m, s=tuple(skip), ps=tuple(pattern_list)):
-                def extra(kcol: Column) -> Column:
+            def _make_extra_pred(s, ps):
+                # closure FACTORY, no default args: a defaulted lambda given
+                # to F.filter/F.exists receives the element INDEX as its
+                # second argument (module-doc pitfall)
+                def pred(kcol: Column) -> Column:
                     cond = ~kcol.isin(list(s)) if s else F.lit(True)
                     for p in ps:
                         cond = cond & ~kcol.rlike(p)
                     return cond
 
-                return F.filter(F.map_keys(m), extra)
+                return pred
+
+            extra_pred = _make_extra_pred(tuple(skip), tuple(pattern_list))
+
+            def extra_keys(m):
+                return F.filter(F.map_keys(m), extra_pred)
 
             if ap is False:
                 oseq.append(
@@ -590,7 +606,9 @@ class VariantBinder:
                                 ),
                             ),
                         ).cast(VIOLATION_TYPE),
-                        lambda m, ek=extra_keys: F.size(ek(m)) > 0,
+                        # exists short-circuits on the first extra key —
+                        # this is the hot boolean gate, not the viol side
+                        lambda m: F.exists(F.map_keys(m), extra_pred),
                     )
                 )
             elif isinstance(ap, Rule):
@@ -613,32 +631,11 @@ class VariantBinder:
 
     @staticmethod
     def _assemble_obj_viols(oseq, m: Column, path: Column) -> Column:
-        arrs: list[Column] = []
-        pending: list = []
-
-        def flush() -> None:
-            if pending:
-                arrs.append(
-                    F.filter(
-                        F.array(*[e(m, path) for e in pending]).cast(VIOLATION_TYPE),
-                        lambda x: x.isNotNull(),
-                    )
-                )
-                pending.clear()
-
-        for kind, viol_side, _fires_side in oseq:
-            if kind == "check":
-                pending.append(viol_side)
-            else:
-                flush()
-                arrs.append(viol_side(m, path))
-        flush()
-        return arrs[0] if len(arrs) == 1 else (F.concat(*arrs) if arrs else _empty())
+        return _assemble_viols(oseq, lambda fn: fn(m, path))
 
     @staticmethod
     def _assemble_obj_fires(oseq, m: Column) -> Column:
-        conds = [fires_side(m) for _k, _v, fires_side in oseq]
-        return reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
+        return _assemble_fires(oseq, lambda fn: fn(m))
 
 
 def _child(path: Column, key: str) -> Column:
