@@ -212,6 +212,15 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
 
 
+def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-writer manifest over the packed token stream: per-window doc
+    and landing-token counts (exact tiling of the global concatenation)."""
+    from json_schema_py_spark.operators.packing import assign_token_spans, pack_summary
+
+    spans = assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
+    return pack_summary(spans, max_tokens=512)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents ∪ planted copies (ids +100000)."""
     from json_schema_py_spark.operators.dedup import exact_duplicates
@@ -546,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_curation": q_curation,
         "q_token_packing": q_token_packing,
+        "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
@@ -817,6 +827,27 @@ SELECT doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
   ((cum - n) // 512)::BIGINT AS first_pack,
   ((cum - 1) // 512)::BIGINT AS last_pack
 FROM c
+""",
+        "q_pack_summary": f"""
+WITH base AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+), spans AS (
+  SELECT doc_id, n::BIGINT AS n, (cum - n)::BIGINT AS start_tok,
+    ((cum - n) // 512)::BIGINT AS first_pack, ((cum - 1) // 512)::BIGINT AS last_pack
+  FROM c WHERE n > 0
+), touched AS (
+  SELECT s.doc_id, s.n, s.start_tok, gs.pack_id
+  FROM spans s, LATERAL (
+    SELECT UNNEST(generate_series(s.first_pack, s.last_pack)) AS pack_id
+  ) gs
+)
+SELECT pack_id::BIGINT AS pack_id, COUNT(*) AS n_docs,
+  SUM(LEAST(start_tok + n, (pack_id + 1) * 512)
+      - GREATEST(start_tok, pack_id * 512))::BIGINT AS n_tokens
+FROM touched GROUP BY pack_id
 """,
         "q_exact_dedup": """
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
