@@ -271,6 +271,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100))
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2: SimHash Hamming-ball pair join (block-partition pigeonhole,
+    exact recall at distance ≤ k) — oracle is brute-force bit_count(xor)
+    over the same deterministic fingerprints."""
+    from json_schema_py_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 150), max_hamming=3
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.similarity import brute_force_topk
 
@@ -561,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_near_pairs": q_simhash_near_pairs,
         "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_validate_lineitem": q_validate_lineitem,
@@ -613,7 +625,7 @@ def _hash64_sql(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(limit: int) -> str:
     th = f"list_transform({_TOKS}, t -> {_hash64_sql('t', 'sh')})"
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {b}) & 1)) >= len(th) "
@@ -622,10 +634,15 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id AS id, {th} AS th FROM documents WHERE doc_id < 100
+  SELECT doc_id AS id, {th} AS th FROM documents WHERE doc_id < {limit}
+), sh AS (
+  SELECT id, ({bit_terms}) AS simhash FROM base
 )
-SELECT id, ({bit_terms}) AS simhash FROM base
 """
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte(100) + "SELECT id, simhash FROM sh"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -897,6 +914,14 @@ WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
 """,
         "q_simhash": _simhash_sql(),
+        # brute-force Hamming truth: the block-partition join is EXACT at
+        # distance <= k (pigeonhole), so the full pair set must match
+        "q_simhash_near_pairs": _simhash_cte(150) + """
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a, sh b
+WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "q_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -326,6 +326,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("id"), val.alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (id_a < id_b, hamming), via the classic block-partition trick: split the
+    fingerprint into ``max_hamming + 1`` bit blocks — two hashes within
+    distance k must agree EXACTLY on at least one block (pigeonhole), so the
+    self-join runs per (block index, block value) bucket, never all-pairs.
+    Candidates verify with an exact popcount on the XOR. Shuffle carries
+    (block, value, id, simhash) — fingerprints only, ×(k+1); at 10^12 docs
+    the block columns are what you'd bucketBy on the lake."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    s = simhash(df, text_col, id_col, bits)
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1 if i < n_blocks - 1 else (1 << (bits - i * width)) - 1)
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = s.select(
+        "id", "simhash", F.posexplode(blocks).alias("block", "bval")
+    )
+    a = banded.select("block", "bval", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = banded.select("block", "bval", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, ["block", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of docs sharing an identical simhash (Hamming distance 0)."""
     s = simhash(df, text_col, id_col)

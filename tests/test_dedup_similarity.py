@@ -253,3 +253,24 @@ def test_lsh_pairs_shuffle_join_fallback_matches_broadcast(spark):
         ).collect()
     }
     assert a == b and len(a) >= 10
+
+
+def test_simhash_near_pairs_exact_vs_bruteforce(spark):
+    """Block-partitioned Hamming-ball join: the pigeonhole blocking is
+    EXACT (distance ≤ k ⇒ one block agrees), so pairs equal brute force."""
+    from json_schema_py_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = _docs(spark).where(F.col("doc_id") < 150)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(d, max_hamming=3).collect()
+    }
+    s = {r["id"]: r["simhash"] for r in simhash(d).collect()}
+    ids = sorted(s)
+    truth = {
+        (a, b): bin(s[a] ^ s[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(s[a] ^ s[b]).count("1") <= 3
+    }
+    assert got == truth and len(truth) > 0
