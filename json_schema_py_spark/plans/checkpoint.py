@@ -141,7 +141,14 @@ class LineageLog:
         done = self.completed(run_id)
         if partition_key is None:
             current = planning_fingerprint(self.spark)
-            stale = done.where(F.col("layout") != current).limit(1).collect()
+            # null-safe: a NULL layout (older-schema or external writer) is
+            # stale, not exempt — plain != would filter those rows out and
+            # silently bypass the guard (ADVICE r02)
+            stale = (
+                done.where(~F.col("layout").eqNullSafe(F.lit(current)))
+                .limit(1)
+                .collect()
+            )
             if stale:
                 raise ValueError(
                     "resume keyed on spark_partition_id requires an unchanged "

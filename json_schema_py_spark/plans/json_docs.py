@@ -85,7 +85,14 @@ def validate_json_typed(
         else:
             wrapper = T.StructType([T.StructField("v", spark_t)])
             wrapped = F.concat(F.lit('{"v":'), F.col(json_col), F.lit("}"))
-            parsed_col = F.from_json(wrapped, wrapper)["v"]
+            # guard: raw text that is NOT valid standalone JSON can become
+            # valid after wrapping ('1,"x":2' -> {"v":1,"x":2}), silently
+            # validating malformed input (ADVICE r02). Only accept the
+            # wrapped parse when the raw text parses on its own.
+            parsed_col = F.when(
+                F.try_parse_json(F.col(json_col)).isNotNull(),
+                F.from_json(wrapped, wrapper)["v"],
+            )
         parsed = df.select(
             F.col(key_col).alias("doc_id"), parsed_col.alias("d")
         )

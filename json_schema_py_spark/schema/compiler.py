@@ -301,7 +301,10 @@ def _to_json_literal(v: Any, dtype: T.DataType) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(dtype, (T.FloatType, T.DoubleType)) and isinstance(v, (int, float)):
-        return repr(float(v))
+        # to_json renders doubles Jackson/Java-style (0.0001 -> "1.0E-4",
+        # 1e30 -> "1.0E30"); Python repr would never match outside
+        # [1e-3, 1e7), yielding false ENUM/CONST mismatches (ADVICE r02).
+        return _java_double_str(float(v))
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) and isinstance(
         v, (int, float)
     ):

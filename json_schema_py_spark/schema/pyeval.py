@@ -118,7 +118,16 @@ def evaluate(
     this engine keeps the DEEP pointer by default — strictly more
     informative, and the reference path is always a prefix of ours
     (asserted in test_api_cli). ``truncate_branch_paths=True`` opts into
-    the reference's exact truncating behavior for bit-identical paths."""
+    the reference's exact truncating behavior for bit-identical paths.
+
+    Multi-failure branches re-emit ALL of the branch's errors — exact
+    parity, not a superset: the reference's CombinedConstraint never
+    short-circuits (combined.py:38-43), and its break-at-first-failing
+    branch path (logical.py:78-84) requires a ``validation_order``
+    attribute that the compiler attaches only to the ROOT constraint
+    (schema_compiler.py:84-87), never to a logical branch — probed and
+    pinned in test_api_cli::test_verbose_multi_failure_branch_emits_all_errors
+    (ADVICE r02 resolution)."""
     out: list[Violation] = []
     t = py_type_of(value)
 

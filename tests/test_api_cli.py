@@ -205,6 +205,62 @@ def test_verbose_branch_detail_matches_reference():
                 assert ee.path.startswith(re_.path)
 
 
+def test_verbose_multi_failure_branch_emits_all_errors():
+    """A branch failing TWO constraints re-emits BOTH errors in the
+    reference, not just the first: CombinedConstraint.validate runs every
+    sub-constraint without short-circuiting (reference combined.py:38-43),
+    and the break-at-first-failing path (logical.py:78-84) only triggers
+    for a branch constraint carrying ``validation_order`` — which the
+    compiler attaches ONLY to the root (schema_compiler.py:84-87), never to
+    a branch, so it is unreachable with >1 effective constraints (probed:
+    the root's order holds the single combined root constraint). Pins that
+    this engine's re-emit-everything behavior is exact parity, not a
+    superset (ADVICE r02)."""
+    import re as _re
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from json_schema.api import JsonValidator as RefValidator
+
+    from json_schema_py_spark.api import JsonValidator
+
+    cases = [
+        # two failing string keywords in one allOf branch
+        ({"allOf": [{"type": "string", "minLength": 10, "pattern": "^x"}]}, "abc"),
+        # two failing branches, each with two failing keywords, in anyOf
+        (
+            {"anyOf": [
+                {"type": "string", "minLength": 10, "pattern": "^x"},
+                {"type": "integer", "minimum": 100, "multipleOf": 7},
+            ]},
+            "abc",
+        ),
+        # $ref-to-definitions branch with two failures (resolved constraint
+        # still has no validation_order: not the root)
+        (
+            {
+                "anyOf": [{"$ref": "#/definitions/s"}, {"type": "integer"}],
+                "definitions": {"s": {"type": "string", "minLength": 10, "pattern": "^x"}},
+            },
+            "abc",
+        ),
+    ]
+    for schema, doc in cases:
+        ref = RefValidator(verbose=True).validate(doc, schema)
+        eng = JsonValidator(verbose=True).validate(doc, schema)
+        def sig(errors):
+            out = []
+            for e in errors:
+                m = _re.match(r"((?:(?:allOf|anyOf)\[\d+\]: )+)", e.message)
+                out.append((m.group(1) if m else "", e.code.name))
+            return out
+        assert sig(eng.errors) == sig(ref.errors), (
+            f"schema={schema}\n"
+            f"eng={[(e.code.name, e.message) for e in eng.errors]}\n"
+            f"ref={[(e.code.name, e.message) for e in ref.errors]}"
+        )
+
+
 def test_verbose_default_off_matches_round1_shape():
     """Without verbose, allOf codes stay unprefixed and anyOf emits only the
     single ANY_OF_NO_MATCH (round-1 behavior preserved)."""

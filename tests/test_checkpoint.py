@@ -101,6 +101,26 @@ def test_checkpoint_layout_guard(spark, tmp_path):
     assert log.remaining(ann, "r1").count() == 0
 
 
+def test_checkpoint_null_layout_is_stale(spark, tmp_path):
+    """Checkpoint rows with a NULL layout (older writer / external tool)
+    are STALE, not exempt: plain != evaluates to NULL for them and would
+    silently bypass the resume-safety guard (ADVICE r02 — eqNullSafe)."""
+    from json_schema_py_spark.plans.checkpoint import LineageLog
+    from json_schema_py_spark.plans.validation import partition_verdicts
+
+    import pyspark.sql.functions as F
+
+    log = LineageLog(spark, str(tmp_path / "lineage"))
+    ann = _annotated(spark)
+    log.append(partition_verdicts(ann, run_id="r1"))
+    # simulate an external/older writer: same rows, layout nulled out
+    nulled = log.read().withColumn("layout", F.lit(None).cast("string"))
+    log2 = LineageLog(spark, str(tmp_path / "lineage2"))
+    nulled.write.mode("overwrite").parquet(log2.path)
+    with pytest.raises(ValueError, match="planning layout"):
+        log2.remaining(ann, "r1")
+
+
 def test_run_validation_end_to_end(spark):
     from json_schema_py_spark.plans.validation import run_validation
     from json_schema_py_spark.sources.synth import (

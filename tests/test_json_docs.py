@@ -128,6 +128,21 @@ def test_scalar_rooted_schema_typed(spark):
     }
     assert sout == {(1, "STRING_TOO_SHORT"), (2, "STRING_TOO_LONG")}
 
+    # malformed raw text that would become VALID JSON only after wrapping
+    # ('1,"x":2' -> {"v":1,"x":2}) must NOT validate: the guarded parse
+    # requires the raw text to parse standalone (ADVICE r02)
+    mdf = spark.createDataFrame(
+        [(1, '1,"x":2'), (2, "5"), (3, "1}")], "doc_id long, payload string"
+    )
+    mout = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate_json_typed(
+            mdf, "payload", {"type": "integer", "maximum": 0}
+        ).collect()
+    }
+    # only doc 2 parses (and violates maximum); docs 1 and 3 null out
+    assert mout == {(2, "NUMBER_TOO_LARGE")}
+
 
 def test_auto_router_picks_path_by_regex_dialect(spark):
     """validate_json_auto: Java-expressible patterns stay on the codegen

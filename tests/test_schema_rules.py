@@ -170,6 +170,34 @@ def test_composite_const_and_enum(spark):
     ) == [("CONST_MISMATCH", "/o")]
 
 
+def test_composite_enum_double_scientific_rendering(spark):
+    """Doubles outside Java's plain-decimal window [1e-3, 1e7) inside a
+    composite enum/const: to_json renders them Jackson-style ('1.0E-4'),
+    so the literal side must too — Python repr ('0.0001') would make a
+    VALID document mismatch forever (ADVICE r02, fixed in
+    _to_json_literal)."""
+    df = spark.createDataFrame(
+        [(1, (0.0001,)), (2, (1e30,)), (3, (0.5,)), (4, (0.25,))],
+        "doc_id long, o struct<rate:double>",
+    )
+    schema = {
+        "properties": {"o": {"enum": [{"rate": 0.0001}, {"rate": 1e30}, {"rate": 0.5}]}}
+    }
+    out = _codes(validate(df, schema))
+    # docs 1-3 are valid members; only doc 4 mismatches
+    assert out == [("ENUM_MISMATCH", "/o")]
+    got = {(r["doc_id"], r["rule_id"]) for r in validate(df, schema).collect()}
+    assert got == {(4, "ENUM_MISMATCH")}
+    # const form, inside an array element (exercises the ArrayType branch)
+    adf = spark.createDataFrame(
+        [(1, [0.0001]), (2, [0.0002])], "doc_id long, a array<double>"
+    )
+    aout = validate(adf, {"properties": {"a": {"const": [0.0001]}}})
+    assert [(r["doc_id"], r["rule_id"]) for r in aout.collect()] == [
+        (2, "CONST_MISMATCH")
+    ]
+
+
 # ----------------------------------------------------------- arrays
 
 
