@@ -274,12 +274,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-2: SimHash Hamming-ball pair join (block-partition pigeonhole,
     exact recall at distance ≤ k) — oracle is brute-force bit_count(xor)
-    over the same deterministic fingerprints."""
+    over the same deterministic fingerprints. Round-3: 64-bit fingerprints
+    (scale fix) make organic ≤3-bit pairs rare, so near-dups are PLANTED:
+    each doc_id < 30 gets a clone with one appended token — the majority
+    vote moves by ≤1 per bit, flipping only boundary bits."""
     from json_schema_py_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(
-        _docs(spark, sf_dir).where(F.col("doc_id") < 150), max_hamming=3
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 150).select("doc_id", "text")
+    extra = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
     )
+    return simhash_near_pairs(d.unionByName(extra), max_hamming=3)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,16 +631,33 @@ def _hash64_sql(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"
 
 
-def _simhash_cte(limit: int) -> str:
-    th = f"list_transform({_TOKS}, t -> {_hash64_sql('t', 'sh')})"
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {b}) & 1)) >= len(th) "
-        f"THEN {1 << b} ELSE 0 END)::BIGINT"
-        for b in range(32)
-    )
+def _simhash_cte(limit: int, bits: int = 64, planted_below: int | None = None) -> str:
+    # 64-bit fingerprints (round-2 VERDICT): bits 0-59 from the 'sh'-seeded
+    # 60-bit hash, 60-63 from an independent 'sh2' hash; bit 63's literal is
+    # Long.MIN_VALUE (1<<63 is not a positive BIGINT) and packing is
+    # bitwise-OR, never arithmetic — mirrors operators/dedup.simhash
+    th0 = f"list_transform({_TOKS}, t -> {_hash64_sql('t', 'sh')})"
+    th1 = f"list_transform({_TOKS}, t -> {_hash64_sql('t', 'sh2')})"
+
+    def term(b: int) -> str:
+        src, sh = ("th0", b) if b < 60 else ("th1", b - 60)
+        val = (1 << b) if b < 63 else -(1 << 63)
+        return (
+            f"(CASE WHEN 2 * list_sum(list_transform({src}, h -> (h >> {sh}) & 1))"
+            f" >= len(th0) THEN {val} ELSE 0 END)::BIGINT"
+        )
+
+    bit_terms = " | ".join(term(b) for b in range(bits))
+    src = f"SELECT doc_id, text FROM documents WHERE doc_id < {limit}"
+    if planted_below is not None:
+        # mirror q_simhash_near_pairs' planted near-dup clones
+        src += (
+            f" UNION ALL SELECT doc_id + 100000, text || ' zzzz'"
+            f" FROM documents WHERE doc_id < {planted_below}"
+        )
     return f"""
 WITH base AS (
-  SELECT doc_id AS id, {th} AS th FROM documents WHERE doc_id < {limit}
+  SELECT doc_id AS id, {th0} AS th0, {th1} AS th1 FROM ({src})
 ), sh AS (
   SELECT id, ({bit_terms}) AS simhash FROM base
 )
@@ -916,7 +939,7 @@ WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
         "q_simhash": _simhash_sql(),
         # brute-force Hamming truth: the block-partition join is EXACT at
         # distance <= k (pigeonhole), so the full pair set must match
-        "q_simhash_near_pairs": _simhash_cte(150) + """
+        "q_simhash_near_pairs": _simhash_cte(150, planted_below=30) + """
 SELECT a.id AS id_a, b.id AS id_b,
   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sh a, sh b

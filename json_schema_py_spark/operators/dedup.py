@@ -276,48 +276,75 @@ def ngram_jaccard_oversized_buckets(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(id, simhash) — majority-vote bit fingerprint over token hashes.
 
-    bit_b(doc) = 1 iff ≥ half the tokens have bit b set in their 60-bit hash.
-    Pure expression (no UDF): per bit, an F.aggregate popcount over the token
+    bit_b(doc) = 1 iff ≥ half the tokens have bit b set in their hash. Pure
+    expression (no UDF): per bit, an F.aggregate popcount over the token
     hash array. Identical docs → identical simhash; near-dups differ in a few
-    bits (pair with a Hamming-ball join downstream)."""
+    bits (pair with a Hamming-ball join downstream).
+
+    ``bits`` ≤ 60 draws from one 60-bit stable_hash64; 61-64 draw the excess
+    bits from a second independently-seeded hash (stable_hash64 is 15 hex
+    chars of md5 — 60 bits — so a 64-bit fingerprint needs two). Default is
+    64 (round-2 VERDICT): with the Hamming-ball pair join's 4-block split,
+    32-bit fingerprints give only 4×2⁸ join keys — every bucket is
+    astronomically hot at 10⁹⁺ docs; 16-bit blocks give 4×65536."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     df = ensure_parallelism(df)
+    two_hashes = bits > 60
+
     # ONE pass (see _minhash_sig PERF note): per token, a (bits+1)-vector of
     # bit indicators + a trailing 1 (the token counter); one aggregate sums
     # them element-wise; the finish lambda — where the fold result is a bound
     # variable — majority-votes each bit and packs the fingerprint.
-    def _bit_vec(h: Column) -> Column:
-        # h is a bound lambda variable → 32 references are free; the python
-        # loop unrolls because shiftright needs a literal bit count
+    def _bit_vec(hs: Column) -> Column:
+        # hs is a bound lambda variable (array of 1-2 hashes) → per-bit
+        # F.get references are free; the python loop unrolls because
+        # shiftright needs a literal bit count
         return F.array(
             *[
-                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+                F.shiftright(F.get(hs, 0 if b < 60 else 1), b if b < 60 else b - 60)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
                 for b in range(bits)
             ],
             F.lit(1).cast("long"),
         )
 
+    def _hashes(t: Column) -> Column:
+        hs = [stable_hash64(t, seed="sh")]
+        if two_hashes:
+            hs.append(stable_hash64(t, seed="sh2"))
+        return F.array(*hs)
+
     per_token = F.transform(
         tokens(F.col(text_col)),
-        # inner single-element transform binds the md5 hash ONCE per token;
-        # inlining it would re-hash once per bit
-        lambda t: F.get(F.transform(F.array(stable_hash64(t, seed="sh")), _bit_vec), 0),
+        # inner single-element transform binds the md5 hash(es) ONCE per
+        # token; inlining would re-hash once per bit
+        lambda t: F.get(F.transform(F.array(_hashes(t)), _bit_vec), 0),
     )
     init = F.array(*[F.lit(0).cast("long")] * (bits + 1))
 
     def finish(acc: Column) -> Column:
         n = F.get(acc, bits)
+        # pack via bitwise-OR fold over unrolled per-bit literals: 2^63 is
+        # not representable as a positive long (the old F.pow(2.0, b) double
+        # path would ANSI-overflow at bit 63), so bit 63's literal is
+        # Long.MIN_VALUE and the fold is OR, never arithmetic
         return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(
-                    F.get(acc, b) * 2 >= n, F.pow(F.lit(2.0), b).cast("bigint")
-                ).otherwise(F.lit(0).cast("bigint")),
+            F.array(
+                *[
+                    F.when(
+                        F.get(acc, b) * 2 >= n,
+                        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                    for b in range(bits)
+                ]
             ),
             F.lit(0).cast("bigint"),
-            lambda a, v: a + v,
+            lambda a, v: a.bitwiseOR(v),
         )
 
     val = F.aggregate(
@@ -326,21 +353,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("id"), val.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bits: int = 32,
+def _simhash_banded(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int, bits: int
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
-    (id_a < id_b, hamming), via the classic block-partition trick: split the
-    fingerprint into ``max_hamming + 1`` bit blocks — two hashes within
-    distance k must agree EXACTLY on at least one block (pigeonhole), so the
-    self-join runs per (block index, block value) bucket, never all-pairs.
-    Candidates verify with an exact popcount on the XOR. Shuffle carries
-    (block, value, id, simhash) — fingerprints only, ×(k+1); at 10^12 docs
-    the block columns are what you'd bucketBy on the lake."""
+    """(id, simhash, block, bval): one row per fingerprint block (the
+    pigeonhole join key). Shared by the pair join and its bucket audit so
+    the audited blocking can never drift from the joined blocking."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     s = simhash(df, text_col, id_col, bits)
@@ -352,9 +370,46 @@ def simhash_near_pairs(
             for i in range(n_blocks)
         ]
     )
-    banded = s.select(
-        "id", "simhash", F.posexplode(blocks).alias("block", "bval")
-    )
+    return s.select("id", "simhash", F.posexplode(blocks).alias("block", "bval"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_rows: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (id_a < id_b, hamming), via the classic block-partition trick: split the
+    fingerprint into ``max_hamming + 1`` bit blocks — two hashes within
+    distance k must agree EXACTLY on at least one block (pigeonhole), so the
+    self-join runs per (block index, block value) bucket, never all-pairs.
+    Candidates verify with an exact popcount on the XOR. Shuffle carries
+    (block, value, id, simhash) — fingerprints only, ×(k+1); at 10^12 docs
+    the block columns are what you'd bucketBy on the lake.
+
+    SCALE CONTRACT (round-2 VERDICT): the join-key space is
+    (k+1) × 2^(bits/(k+1)) — at the old 32-bit default that was 4×2⁸ = 1,024
+    keys, a de-facto cross product at 10⁹⁺ docs. Default is now 64-bit
+    fingerprints (4×65,536 keys at k=3), and ``max_bucket_rows`` enforces a
+    hard bound exactly like ngram_jaccard_pairs: (block, bval) buckets
+    larger than the cap are EXCLUDED from the join (pair work ≤ n_buckets ×
+    C(cap, 2)). A pair is still found if ANY of its agreeing blocks is
+    under the cap; audit the exclusions with simhash_oversized_buckets and
+    sweep capped regions with minhash_lsh_pairs. Uncapped, recall is exact
+    by pigeonhole (pinned vs brute-force Hamming truth in the gate)."""
+    banded = _simhash_banded(df, text_col, id_col, max_hamming, bits)
+    if max_bucket_rows is not None:
+        # distinct (block, bval) ≤ (k+1)·2^(bits/(k+1)) — bounded, broadcast
+        ok = (
+            banded.groupBy("block", "bval")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .where(F.col("_bc") <= max_bucket_rows)
+            .select("block", "bval")
+        )
+        banded = banded.join(F.broadcast(ok), ["block", "bval"])
     a = banded.select("block", "bval", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = banded.select("block", "bval", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
@@ -367,6 +422,26 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_rows: int = 100_000,
+) -> DataFrame:
+    """(block, bval, cnt) for every pigeonhole bucket simhash_near_pairs
+    would DROP at ``max_bucket_rows`` — the audit trail for the capped run
+    (log/alert on these, then sweep the affected fingerprint region with
+    minhash_lsh_pairs or a higher-bits re-run)."""
+    banded = _simhash_banded(df, text_col, id_col, max_hamming, bits)
+    return (
+        banded.groupBy("block", "bval")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > max_bucket_rows)
     )
 
 

@@ -267,10 +267,71 @@ def test_simhash_near_pairs_exact_vs_bruteforce(spark):
     }
     s = {r["id"]: r["simhash"] for r in simhash(d).collect()}
     ids = sorted(s)
+
+    def ham(a, b):
+        # 64-bit fingerprints collect as SIGNED longs (bit 63 = sign);
+        # mask to two's complement before popcount — bin() of a negative
+        # Python int would miscount
+        return bin((s[a] ^ s[b]) & ((1 << 64) - 1)).count("1")
+
     truth = {
-        (a, b): bin(s[a] ^ s[b]).count("1")
+        (a, b): ham(a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1:]
-        if bin(s[a] ^ s[b]).count("1") <= 3
+        if ham(a, b) <= 3
     }
     assert got == truth and len(truth) > 0
+
+
+def test_simhash_64bit_fingerprints_use_high_bits(spark):
+    """The 64-bit default actually populates bits 60-63 (drawn from the
+    second 'sh2'-seeded hash): across the corpus, some fingerprint has a
+    high bit set — guards against a silent fall-back to 60-bit hashes that
+    would leave the top block degenerate (round-2 VERDICT scale fix)."""
+    from json_schema_py_spark.operators.dedup import simhash
+
+    vals = [r["simhash"] for r in simhash(_docs(spark).where(F.col("doc_id") < 100)).collect()]
+    assert any((v >> 60) & 0xF or v < 0 for v in vals)
+    # and the 32-bit parameterization still confines itself to 32 bits
+    vals32 = [
+        r["simhash"]
+        for r in simhash(_docs(spark).where(F.col("doc_id") < 100), bits=32).collect()
+    ]
+    assert all(0 <= v < (1 << 32) for v in vals32)
+
+
+def test_simhash_near_pairs_bucket_cap_and_audit(spark):
+    """max_bucket_rows bounds the pigeonhole self-join under a dominant
+    block value (the 100 TB skew defense): a hot bucket of identical docs
+    is EXCLUDED from the join, the audit reports it, and pairs whose
+    agreeing block is under the cap are still found."""
+    from json_schema_py_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_oversized_buckets,
+    )
+
+    base = _docs(spark).where(F.col("doc_id") < 30)
+    # 200 identical synthetic docs (text disjoint from the corpus) -> every
+    # one of their 4 (block, bval) buckets is 200 rows hot; the 30 real
+    # docs stay in small buckets untouched by the cap
+    hot = spark.range(200).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("zyx wvu tsr qpo nml kji hgf edc").alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(hot)
+
+    capped = simhash_near_pairs(corpus, max_hamming=3, max_bucket_rows=50).collect()
+    uncapped_n = simhash_near_pairs(corpus, max_hamming=3).count()
+    # the clone cluster alone contributes C(200,2)=19900 pairs; capped must
+    # drop them (clone ids never appear) while keeping sub-cap pairs
+    assert uncapped_n >= 19900
+    assert all(r["id_a"] < 1000 and r["id_b"] < 1000 for r in capped)
+    audited = simhash_oversized_buckets(corpus, max_bucket_rows=50).collect()
+    assert len(audited) >= 4 and all(r["cnt"] >= 200 for r in audited)
+    # sub-cap pairs survive identically (no over-dropping): pairs among
+    # doc_id<30 match the uncapped join restricted to those ids
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(base, max_hamming=3).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in capped} == plain
