@@ -76,28 +76,42 @@ class JsonValidator:
             try:
                 rule = normalize_schema(schema)
             except SchemaCompileError as e:
+                # reference phrasing when a $ref caused it (references.py:94)
+                ref = getattr(e, "ref", None)
+                msg = (
+                    f"No resolver provided for reference '{ref}'"
+                    if ref is not None
+                    else str(e)
+                )
                 return ValidationResult(
                     False,
-                    [ValidationError(ErrorCode.REFERENCE_RESOLUTION_FAILED, "", str(e))],
+                    [ValidationError(ErrorCode.REFERENCE_RESOLUTION_FAILED, "", msg)],
                 )
             self._cache[key] = rule
         violations = evaluate(
             rule, data, "", self.verbose, self.truncate_branch_paths
         )
         errors = []
-        for code, path, obs in violations:
+        for v in violations:
+            code, path, obs = v
             # verbose branch detail arrives as "allOf[0]:anyOf[1]:CODE" —
             # the reference keeps error.code pure and prefixes the MESSAGE
             # ("allOf[0]: ...", logical.py:98-103,206-222); split accordingly
             *prefixes, base = code.split(":")
-            msg = "".join(f"{p}: " for p in prefixes) + _message(base, path, obs)
+            # every pyeval emission site renders the reference's exact
+            # phrasing into .msg (pyeval.V); _message is the fallback for
+            # triples arriving from sources without messages
+            body = getattr(v, "msg", None) or _message(base, path, obs)
+            msg = "".join(f"{p}: " for p in prefixes) + body
             errors.append(ValidationError(ErrorCode(base), path, msg, obs))
         return ValidationResult(valid=not errors, errors=errors)
 
 
 def _message(code: str, path: str, observed: str) -> str:
-    """Reference-style phrasing for the codes whose messages downstream
-    tooling greps (the same formats tests/refadapt.py parses)."""
+    """Fallback phrasing for violation triples that carry no rendered
+    message (plain tuples from external producers; pyeval emits
+    reference-exact messages via V.msg — see test_api_cli message-parity
+    suite)."""
     leaf = path.rsplit("/", 1)[-1] if "/" in path else path
     if code == "REQUIRED_PROPERTY_MISSING":
         return f"Missing required property '{leaf}'"

@@ -820,23 +820,37 @@ class RuleBinder:
                         lambda col, o=obs: F.lit(o))
 
         matched_keys: set[str] = set()
-        sub_rules: list[tuple[str, Rule]] = []
+        # entries: ("sub", key, rule) to bind a child, or ("bad_pat", pattern,
+        # error) for a Python-invalid patternProperties regex — kept in
+        # EMISSION order (properties first, then per-pattern in pattern
+        # order) so the sequence stays pyeval/reference-exact
+        entries: list[tuple] = []
         for k, sub in rule.properties.items():
             matched_keys.add(k)
             if k in fields:
-                sub_rules.append((k, sub))
+                entries.append(("sub", k, sub))
         for pat, sub in rule.pattern_properties.items():
             try:
                 cre = re.compile(pat)
-            except re.error:
+            except re.error as e:
+                # reference emits SCHEMA_INVALID at the object's path, once
+                # per invalid pattern per validated object (objects.py:147-152)
+                entries.append(("bad_pat", pat, str(e)))
                 continue
             for k in fields:
                 if cre.search(k):
                     if k not in matched_keys:
-                        sub_rules.append((k, sub))
+                        entries.append(("sub", k, sub))
                     matched_keys.add(k)
 
-        for k, sub in sub_rules:
+        for kind, a, b_ in entries:
+            if kind == "bad_pat":
+                add(lambda col: F.lit(True),
+                    ErrorCode.SCHEMA_INVALID.value,
+                    lambda col, path: path,
+                    lambda col, p=a: F.lit(p))
+                continue
+            k, sub = a, b_
             b = self.bind(sub, fields[k])
             seq.append(
                 Bound(
@@ -950,16 +964,25 @@ class RuleBinder:
             )
 
         # patternProperties keys: mirror the `pattern` keyword path —
-        # Python-invalid patterns are SKIPPED (pyeval/reference semantics),
-        # valid ones are mechanically translated to the Java dialect and
-        # fail fast if untranslatable; keys already matched by static
-        # `properties` are EXCLUDED (pyeval: `if k not in rule.properties`)
+        # Python-invalid patterns emit SCHEMA_INVALID at the object's path
+        # (reference objects.py:147-152), valid ones are mechanically
+        # translated to the Java dialect and fail fast if untranslatable;
+        # keys already matched by static `properties` are EXCLUDED
+        # (pyeval: `if k not in rule.properties`)
         pattern_list: list[str] = []
         for pat, sub in rule.pattern_properties.items():
             from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
             jpat = checked_java_pattern(pat, "patternProperties")
-            if jpat is None:  # Python-invalid: skipped (reference semantics)
+            if jpat is None:
+                # Python-invalid: the reference emits SCHEMA_INVALID at the
+                # object's path, once per invalid pattern per validated
+                # object (objects.py:147-152) — silently skipping was a
+                # round-3 parity find, fixed with pyeval in lockstep
+                add(lambda col: F.lit(True),
+                    ErrorCode.SCHEMA_INVALID.value,
+                    lambda col, path: path,
+                    lambda col, p=pat: F.lit(p))
                 continue
             pattern_list.append(jpat)
             b = self.bind(sub, val_dtype)

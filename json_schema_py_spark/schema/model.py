@@ -43,7 +43,16 @@ _NUMBER_KEYWORDS = ("minimum", "maximum", "multipleOf", "exclusiveMinimum", "exc
 
 
 class SchemaCompileError(ValueError):
-    """Raised for unresolvable refs / malformed schemas at compile time."""
+    """Raised for unresolvable refs / malformed schemas at compile time.
+
+    ``ref`` carries the offending $ref when one caused the failure — the
+    API layer renders the reference's message for it ("No resolver provided
+    for reference '<ref>'", references.py:94-95 — probed: both external and
+    unresolvable-local refs produce this same phrasing)."""
+
+    def __init__(self, message: str, ref: Optional[str] = None):
+        super().__init__(message)
+        self.ref = ref
 
 
 @dataclass
@@ -53,6 +62,12 @@ class Rule:
 
     types: Optional[list[str]] = None  # JSON type names; None = untyped
     type_inferred: bool = False
+    # schema wrote type as a LIST ("type": ["a","b"]): the reference then
+    # routes through TypeConstraintImpl whose message uses sorted JSON type
+    # names ("Expected integer, string, got number"); the string form (and
+    # inferred types) route through base.py's gate with Python __name__
+    # ("Expected integer, got str") — probed, see api/pyeval message parity
+    types_from_list: bool = False
     # string (reference: json_schema/constraints/strings.py:12-118)
     min_length: Optional[int] = None
     max_length: Optional[int] = None
@@ -105,7 +120,7 @@ def _resolve_pointer(root: dict, ref: str) -> Any:
     (reference: json_schema/schema_compiler.py:597-599).
     """
     if not ref.startswith("#"):
-        raise SchemaCompileError(f"external $ref not supported: {ref!r}")
+        raise SchemaCompileError(f"external $ref not supported: {ref!r}", ref=ref)
     node: Any = root
     for raw in ref.lstrip("#").strip("/").split("/") if ref not in ("#", "#/") else []:
         token = raw.replace("~1", "/").replace("~0", "~")
@@ -114,7 +129,7 @@ def _resolve_pointer(root: dict, ref: str) -> Any:
         elif isinstance(node, list) and token.isdigit() and int(token) < len(node):
             node = node[int(token)]
         else:
-            raise SchemaCompileError(f"unresolvable $ref: {ref!r}")
+            raise SchemaCompileError(f"unresolvable $ref: {ref!r}", ref=ref)
     return node
 
 
@@ -166,6 +181,7 @@ def normalize_schema(schema: Any, root: Optional[dict] = None, depth: int = 0) -
     t = schema.get("type")
     if t is not None:
         r.types = [t] if isinstance(t, str) else list(t)
+        r.types_from_list = not isinstance(t, str)
     else:
         inferred = _infer_type(schema)
         if inferred is not None:

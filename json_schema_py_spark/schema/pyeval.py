@@ -57,6 +57,24 @@ Violation = tuple[str, str, str]  # (rule_id, path, observed)
 _FLOAT_TOLERANCE = 1e-10
 
 
+class V(tuple):
+    """A violation triple that compares/hashes as a plain (rule_id, path,
+    observed) tuple, plus a ``.msg`` attribute carrying the reference's
+    exact message phrasing — rendered HERE at the emission site, where the
+    raw value and the schema parameters are both in scope (the reference
+    renders in each constraint's validate(), e.g. strings.py:60-97,
+    numbers.py:59-113, objects.py:74-187). Consumers that only know
+    triples (the fuzz sequence-equality harness, the Column-parity
+    comparisons) are unaffected; api.JsonValidator reads ``.msg``.
+    (No __slots__: CPython forbids nonempty slots on tuple subtypes —
+    the per-instance dict is fine; violations are rare relative to docs.)"""
+
+    def __new__(cls, code: str, path: str, obs: str, msg: Optional[str] = None):
+        self = super().__new__(cls, (code, path, obs))
+        self.msg = msg
+        return self
+
+
 def py_type_of(v: Any) -> str:
     """reference: json_schema/utils.py:174-201 (bool checked before int)."""
     if v is None:
@@ -133,13 +151,27 @@ def evaluate(
 
     # type gate (reference: json_schema/constraints/base.py:284-289)
     if rule.types is not None and not _type_ok(t, rule.types):
-        return [(ErrorCode.TYPE_ERROR.value, path, py_repr(value))]
+        if rule.types_from_list:
+            # list-form type routes through TypeConstraintImpl: sorted JSON
+            # names + JSON actual type (reference types.py:55-58)
+            msg = f"Expected {', '.join(sorted(rule.types))}, got {t}"
+        else:
+            # string-form / inferred: base.py gate, Python __name__ actual
+            # (reference base.py:306-356)
+            msg = f"Expected {rule.types[0]}, got {type(value).__name__}"
+        return [V(ErrorCode.TYPE_ERROR.value, path, py_repr(value), msg)]
 
     # enum / const
     if rule.enum is not None and not _py_eq_in(value, rule.enum):
-        out.append((ErrorCode.ENUM_MISMATCH.value, path, py_repr(value)))
+        out.append(
+            V(ErrorCode.ENUM_MISMATCH.value, path, py_repr(value),
+              f"Value '{value}' not in enumeration: {rule.enum}")
+        )
     if rule.const_set and not _py_eq(value, rule.const):
-        out.append((ErrorCode.CONST_MISMATCH.value, path, py_repr(value)))
+        out.append(
+            V(ErrorCode.CONST_MISMATCH.value, path, py_repr(value),
+              f"Expected constant value {rule.const}, got {value}")
+        )
 
     if t == "string":
         out.extend(_eval_string(rule, value, path))
@@ -151,12 +183,14 @@ def evaluate(
         out.extend(_eval_object(rule, value, path, verbose, truncate_branch_paths))
 
     # logical combinators
+    _NO_MATCH_MSG = "Value does not match any of the required schemas"
     for i, branch in enumerate(rule.all_of):
         errs = evaluate(branch, value, path, verbose, truncate_branch_paths)
         if verbose:
             errs = [
-                (f"allOf[{i}]:{c}", path if truncate_branch_paths else p, o)
-                for c, p, o in errs
+                V(f"allOf[{i}]:{e[0]}", path if truncate_branch_paths else e[1],
+                  e[2], getattr(e, "msg", None))
+                for e in errs
             ]
         out.extend(errs)
     if rule.any_of:
@@ -166,31 +200,36 @@ def evaluate(
                 for b in rule.any_of
             ]
             if all(branch_errs):
-                out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
+                out.append(V(ErrorCode.ANY_OF_NO_MATCH.value, path, "", _NO_MATCH_MSG))
                 for i, errs in enumerate(branch_errs):
                     out.extend(
-                        (f"anyOf[{i}]:{c}", path if truncate_branch_paths else p, o)
-                        for c, p, o in errs
+                        V(f"anyOf[{i}]:{e[0]}", path if truncate_branch_paths else e[1],
+                          e[2], getattr(e, "msg", None))
+                        for e in errs
                     )
         # non-verbose: short-circuit on the first matching branch — this is
         # the exact-path per-row hot loop (review finding r02)
         elif all(evaluate(b, value, path) for b in rule.any_of):
-            out.append((ErrorCode.ANY_OF_NO_MATCH.value, path, ""))
+            out.append(V(ErrorCode.ANY_OF_NO_MATCH.value, path, "", _NO_MATCH_MSG))
     if rule.one_of:
         matches = [i for i, b in enumerate(rule.one_of) if not evaluate(b, value, path)]
         if len(matches) == 0:
-            out.append((ErrorCode.ONE_OF_NO_MATCH.value, path, ""))
+            out.append(V(ErrorCode.ONE_OF_NO_MATCH.value, path, "", _NO_MATCH_MSG))
         elif len(matches) > 1:
-            out.append((ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, ""))
             out.append(
-                (
-                    ErrorCode.ONE_OF_MULTIPLE_MATCHES.value,
-                    path,
-                    ",".join(str(i) for i in matches),
-                )
+                V(ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path, "",
+                  f"Value matches {len(matches)} schemas, but should match exactly one")
+            )
+            out.append(
+                V(ErrorCode.ONE_OF_MULTIPLE_MATCHES.value, path,
+                  ",".join(str(i) for i in matches),
+                  f"Matching schema indices: {matches}")
             )
     if rule.not_ is not None and not evaluate(rule.not_, value, path):
-        out.append((ErrorCode.NOT_SCHEMA_MATCHED.value, path, ""))
+        out.append(
+            V(ErrorCode.NOT_SCHEMA_MATCHED.value, path, "",
+              "Value should not validate against the schema, but it does")
+        )
 
     return out
 
@@ -207,15 +246,27 @@ def _py_eq_in(v: Any, values: list[Any]) -> bool:
 def _eval_string(rule: Rule, v: str, path: str) -> list[Violation]:
     out: list[Violation] = []
     if rule.min_length is not None and len(v) < rule.min_length:
-        out.append((ErrorCode.STRING_TOO_SHORT.value, path, v))
+        out.append(
+            V(ErrorCode.STRING_TOO_SHORT.value, path, v,
+              f"String length is {len(v)}, but minimum is {rule.min_length}")
+        )
     if rule.max_length is not None and len(v) > rule.max_length:
-        out.append((ErrorCode.STRING_TOO_LONG.value, path, v))
+        out.append(
+            V(ErrorCode.STRING_TOO_LONG.value, path, v,
+              f"String length is {len(v)}, but maximum is {rule.max_length}")
+        )
     if rule.pattern is not None:
         try:
             if not re.search(rule.pattern, v):
-                out.append((ErrorCode.PATTERN_MISMATCH.value, path, v))
-        except re.error:
-            out.append((ErrorCode.SCHEMA_INVALID.value, path, v))
+                out.append(
+                    V(ErrorCode.PATTERN_MISMATCH.value, path, v,
+                      f"String '{v}' does not match pattern '{rule.pattern}'")
+                )
+        except re.error as e:
+            out.append(
+                V(ErrorCode.SCHEMA_INVALID.value, path, v,
+                  f"Invalid regex pattern: {e}")
+            )
     return out
 
 
@@ -224,11 +275,23 @@ def _eval_number(rule: Rule, v: float, path: str) -> list[Violation]:
     if rule.minimum is not None:
         bad = v <= rule.minimum if rule.exclusive_minimum else v < rule.minimum
         if bad:
-            out.append((ErrorCode.NUMBER_TOO_SMALL.value, path, py_repr(v)))
+            rel = (
+                "greater than"
+                if rule.exclusive_minimum
+                else "greater than or equal to"
+            )
+            out.append(
+                V(ErrorCode.NUMBER_TOO_SMALL.value, path, py_repr(v),
+                  f"Value {v} must be {rel} {rule.minimum}")
+            )
     if rule.maximum is not None:
         bad = v >= rule.maximum if rule.exclusive_maximum else v > rule.maximum
         if bad:
-            out.append((ErrorCode.NUMBER_TOO_LARGE.value, path, py_repr(v)))
+            rel = "less than" if rule.exclusive_maximum else "less than or equal to"
+            out.append(
+                V(ErrorCode.NUMBER_TOO_LARGE.value, path, py_repr(v),
+                  f"Value {v} must be {rel} {rule.maximum}")
+            )
     if rule.multiple_of is not None:
         k = rule.multiple_of
         if isinstance(v, int) and isinstance(k, int) and not isinstance(v, bool):
@@ -237,7 +300,10 @@ def _eval_number(rule: Rule, v: float, path: str) -> list[Violation]:
             m = float(v) % float(k)  # Python %: sign of divisor, like pmod
             ok = m < _FLOAT_TOLERANCE or abs(m - float(k)) < _FLOAT_TOLERANCE
         if not ok:
-            out.append((ErrorCode.NUMBER_NOT_MULTIPLE.value, path, py_repr(v)))
+            out.append(
+                V(ErrorCode.NUMBER_NOT_MULTIPLE.value, path, py_repr(v),
+                  f"Value {v} is not a multiple of {k}")
+            )
     return out
 
 
@@ -246,16 +312,23 @@ def _eval_array(
 ) -> list[Violation]:
     out: list[Violation] = []
     if rule.min_items is not None and len(v) < rule.min_items:
-        out.append((ErrorCode.ARRAY_TOO_SHORT.value, path, str(len(v))))
+        out.append(
+            V(ErrorCode.ARRAY_TOO_SHORT.value, path, str(len(v)),
+              f"Array has {len(v)} items, but minimum is {rule.min_items}")
+        )
     if rule.max_items is not None and len(v) > rule.max_items:
-        out.append((ErrorCode.ARRAY_TOO_LONG.value, path, str(len(v))))
+        out.append(
+            V(ErrorCode.ARRAY_TOO_LONG.value, path, str(len(v)),
+              f"Array has {len(v)} items, but maximum is {rule.max_items}")
+        )
     if rule.unique_items:
         seen: dict[str, int] = {}
         for i, item in enumerate(v):
             r = str(item)  # str()-repr equality (reference: arrays.py:72-98)
             if r in seen:
                 out.append(
-                    (ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value, f"{path}/{i}", py_repr(item))
+                    V(ErrorCode.ARRAY_ITEMS_NOT_UNIQUE.value, f"{path}/{i}", py_repr(item),
+                      f"Array items must be unique (duplicate at index {i})")
                 )
                 break
             seen[r] = i
@@ -274,20 +347,29 @@ def _eval_object(
     # propertyNames → properties → patternProperties → additionalProperties
     # (json_schema/constraints/objects.py:74-187)
     if rule.min_properties is not None and n < rule.min_properties:
-        out.append((ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value, path, str(n)))
+        out.append(
+            V(ErrorCode.OBJECT_TOO_FEW_PROPERTIES.value, path, str(n),
+              f"Object has {n} properties, but minimum is {rule.min_properties}")
+        )
     if rule.max_properties is not None and n > rule.max_properties:
-        out.append((ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value, path, str(n)))
+        out.append(
+            V(ErrorCode.OBJECT_TOO_MANY_PROPERTIES.value, path, str(n),
+              f"Object has {n} properties, but maximum is {rule.max_properties}")
+        )
     for req in rule.required:
         if req not in v:
             out.append(
-                (ErrorCode.REQUIRED_PROPERTY_MISSING.value, f"{path}/{_escape(req)}", "None")
+                V(ErrorCode.REQUIRED_PROPERTY_MISSING.value, f"{path}/{_escape(req)}",
+                  "None", f"Missing required property '{req}'")
             )
     for dep_key, needed in rule.dependencies.items():
         if dep_key in v:
             for b in needed:
                 if b not in v:
                     out.append(
-                        (ErrorCode.DEPENDENCY_MISSING.value, f"{path}/{_escape(b)}", "None")
+                        V(ErrorCode.DEPENDENCY_MISSING.value, f"{path}/{_escape(b)}",
+                          "None",
+                          f"Property '{dep_key}' depends on '{b}', which is missing")
                     )
     if rule.property_names is not None:
         for k in v:
@@ -300,7 +382,14 @@ def _eval_object(
     for pat, sub in rule.pattern_properties.items():
         try:
             cre = re.compile(pat)
-        except re.error:
+        except re.error as e:
+            # the reference emits SCHEMA_INVALID at the OBJECT's path, once
+            # per invalid pattern per validated object (objects.py:147-152)
+            # — silently skipping was a parity gap (found round 3)
+            out.append(
+                V(ErrorCode.SCHEMA_INVALID.value, path, pat,
+                  f"Invalid regex pattern '{pat}': {e}")
+            )
             continue
         for k in v:
             if cre.search(str(k)):
@@ -314,10 +403,11 @@ def _eval_object(
         if ap is False:
             for k in extras:
                 out.append(
-                    (
+                    V(
                         ErrorCode.ADDITIONAL_PROPERTY_NOT_ALLOWED.value,
                         f"{path}/{_escape(k)}",
                         py_repr(v[k]),
+                        f"Additional property '{k}' not allowed",
                     )
                 )
         elif isinstance(ap, Rule):

@@ -374,6 +374,41 @@ def test_with_violations_valid_flag(spark):
     assert out.schema["violations"].dataType.simpleString().startswith("array<struct")
 
 
+def test_invalid_pattern_properties_regex_emits_schema_invalid(spark):
+    """A Python-invalid patternProperties regex emits SCHEMA_INVALID at the
+    OBJECT's path, once per invalid pattern per validated object (reference
+    objects.py:147-152) — silently skipping was a round-3 parity find.
+    Pinned on both the struct and map Column paths and in pyeval."""
+    from json_schema_py_spark.schema.model import normalize_schema as _norm
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    schema = {"patternProperties": {"[": {"type": "integer"}}}
+    # struct path
+    sdf = spark.createDataFrame([(1, (2,)), (2, None)], "doc_id long, o struct<a:long>")
+    out = [
+        (r["doc_id"], r["rule_id"], r["path"], r["observed"])
+        for r in validate(sdf, {"properties": {"o": schema}}).collect()
+    ]
+    assert out == [(1, "SCHEMA_INVALID", "/o", "[")]  # absent object: skipped
+    # map path
+    mdf = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {})], "doc_id long, o map<string,long>"
+    )
+    mout = {
+        (r["doc_id"], r["rule_id"], r["path"], r["observed"])
+        for r in validate(mdf, {"properties": {"o": schema}}).collect()
+    }
+    # reference emits even for an EMPTY object (probed)
+    assert mout == {
+        (1, "SCHEMA_INVALID", "/o", "["),
+        (2, "SCHEMA_INVALID", "/o", "["),
+    }
+    # pyeval agreement, message included
+    errs = evaluate(_norm(schema), {"a": 1}, "")
+    assert [(e[0], e[1], e[2]) for e in errs] == [("SCHEMA_INVALID", "", "[")]
+    assert "Invalid regex pattern '['" in errs[0].msg
+
+
 def test_regex_dialect_warning(spark):
     """Python-only regex constructs are flagged at compile time (the Column
     engine runs Java rlike; the exact pandas path runs CPython re)."""
