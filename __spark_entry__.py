@@ -546,14 +546,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition pass/fail rollup (partition ids are plan-dependent →
-    rows-only check; exactness tested in tests/test_checkpoint.py)."""
+    """Per-partition pass/fail rollup on a DURABLE partition key
+    (src_id % 16 — content-derived, layout-independent), so DuckDB can
+    recompute every verdict row exactly (round-2 VERDICT item 6: the
+    spark_partition_id flavor is plan-dependent and stays pytest-covered in
+    tests/test_checkpoint.py; the durable-key flavor is also the documented
+    100 TB usage — resume keys must survive a re-plan)."""
     from json_schema_py_spark.plans.validation import partition_verdicts
     from json_schema_py_spark.schema.compiler import with_violations
     from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
 
     sd = spans_documents(spark, sf_dir)
-    return partition_verdicts(with_violations(sd, DOCUMENTS_RULESET))
+    return partition_verdicts(
+        with_violations(sd, DOCUMENTS_RULESET),
+        partition_key=F.pmod(F.col("src_id"), F.lit(16)).cast("string"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -963,6 +970,16 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
         "q_embedding_near_dup": """
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
 FROM embeddings WHERE vec_id < 5
+""",
+        # durable partition key (src_id % 16): every verdict row is
+        # layout-independent and recomputable — planted classes 1-5,7,8
+        # carry exactly one violation each (same plants as q_doc_verdicts)
+        "q_partition_verdicts": _IDS_CTE + """
+SELECT 'run-0' AS run_id, CAST(i % 16 AS VARCHAR) AS partition_key,
+  (SUM(CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) = 0) AS pass,
+  COUNT(*) AS docs,
+  SUM(CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) AS violations
+FROM ids GROUP BY i % 16
 """,
         "q_validate_lineitem": """
 WITH li AS (
