@@ -257,6 +257,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_with_lsh_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_rows: int = 1000,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): exact n-gram-Jaccard pairs for docs in
+    bounded length-band buckets, with the capped (oversized) bands
+    automatically swept by MinHash-LSH — the composition the operators'
+    SCALE CONTRACTs prescribe, packaged so a caller (e.g. the curation
+    plan) can't forget the sweep and silently lose a hot band's near-dups.
+
+    The two halves are disjoint by construction (each doc lives in exactly
+    one length band; oversized-band docs are excluded from the exact join
+    and are the ONLY docs the sweep sees), so the union needs no dedup.
+    Swept pairs are LSH-discovered but exact-verified (minhash_lsh_pairs
+    re-filters candidates on true Jaccard over the same shingle function),
+    so every output row's ``jaccard`` is exact; only RECALL inside capped
+    bands follows the LSH S-curve. Cross-band pairs are out of scope for
+    both halves — the length-band blocking contract (similar docs have
+    similar lengths) already accepts that."""
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_k, threshold,
+        bucket_by_token_count=True, max_bucket_rows=max_bucket_rows,
+    )
+    over = ngram_jaccard_oversized_buckets(
+        df, text_col, id_col, shingle_k,
+        bucket_by_token_count=True, max_bucket_rows=max_bucket_rows,
+    ).select("lb")
+    # select capped-band rows by joining on the RECOMPUTED band id against
+    # the (tiny) oversized-bucket list — broadcasting bucket IDS is bounded
+    # (≤ distinct bands), broadcasting the capped DOCS would not be: one
+    # hot band can hold billions of rows
+    capped = (
+        df.withColumn(
+            "_lb", (F.size(tokens(F.col(text_col))) / 16).cast("int")
+        )
+        .join(F.broadcast(over.withColumnRenamed("lb", "_lb")), "_lb")
+        .drop("_lb")
+    )
+    swept = minhash_lsh_pairs(
+        capped, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        threshold=threshold,
+    )
+    return exact.unionByName(swept)
+
+
 def ngram_jaccard_oversized_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -44,7 +44,10 @@ from json_schema_py_spark.functions.text import (
     text_fingerprint,
     token_count,
 )
-from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
+from json_schema_py_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs_with_lsh_sweep,
+)
 
 
 def curate_documents(
@@ -56,8 +59,19 @@ def curate_documents(
     lang: str | None = "en",
     min_stopword_ratio: float = 0.0,
     near_dup_threshold: float = 0.7,
+    near_dup_method: str = "lsh",
+    ngram_max_bucket_rows: int = 1000,
 ) -> DataFrame:
-    """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc."""
+    """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc.
+
+    ``near_dup_method``: ``"lsh"`` (default) discovers near-dups with banded
+    MinHash-LSH — the 10^12-doc path. ``"ngram"`` uses EXACT n-gram-Jaccard
+    within length bands, with bands hotter than ``ngram_max_bucket_rows``
+    automatically swept by LSH (ngram_jaccard_pairs_with_lsh_sweep) — a
+    capped band's near-dups are still caught, never silently lost
+    (round-2 VERDICT item 7; pinned in tests/test_curation.py)."""
+    if near_dup_method not in ("lsh", "ngram"):
+        raise ValueError(f"near_dup_method must be 'lsh' or 'ngram', got {near_dup_method!r}")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -95,9 +109,16 @@ def curate_documents(
     dedup_corpus = surviving.join(
         F.broadcast(exact_drops.select("doc_id")), "doc_id", "left_anti"
     )
-    pairs = minhash_lsh_pairs(
-        dedup_corpus, text_col="text", id_col="doc_id", threshold=near_dup_threshold
-    )
+    if near_dup_method == "ngram":
+        pairs = ngram_jaccard_pairs_with_lsh_sweep(
+            dedup_corpus, text_col="text", id_col="doc_id",
+            threshold=near_dup_threshold,
+            max_bucket_rows=ngram_max_bucket_rows,
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            dedup_corpus, text_col="text", id_col="doc_id", threshold=near_dup_threshold
+        )
     near_drops = (
         pairs.select(F.col("id_b").alias("doc_id"))
         .distinct()

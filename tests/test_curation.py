@@ -48,3 +48,57 @@ def test_curation_low_quality_and_determinism(spark):
         df, min_tokens=3, max_tokens=100, lang=None, min_stopword_ratio=0.05
     ).collect()}
     assert again == out
+
+
+def test_curation_ngram_capped_band_swept_by_lsh(spark):
+    """near_dup_method='ngram': a length band hotter than the bucket cap is
+    EXCLUDED from the exact join (scale contract) but its near-dups are
+    still caught — the plan routes capped bands through MinHash-LSH
+    automatically (round-2 VERDICT item 7)."""
+    from json_schema_py_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_with_lsh_sweep,
+    )
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    # hot band (lb=1: 16-31 tokens): 60 mutually-dissimilar docs + one
+    # planted near-dup pair (500, 501) -> 62 rows > cap of 30
+    hot = [
+        (i, " ".join(f"h{i}w{j}" for j in range(20))) for i in range(60)
+    ]
+    p500 = " ".join(f"p0w{j}" for j in range(20))
+    hot += [(500, p500), (501, p500 + " p0extra")]
+    # sub-cap band (lb=2: 32-47 tokens): 10 docs + planted pair (600, 601)
+    cool = [
+        (100 + i, " ".join(f"s{i}w{j}" for j in range(35))) for i in range(10)
+    ]
+    q600 = " ".join(f"q0w{j}" for j in range(35))
+    cool += [(600, q600), (601, q600 + " q0extra")]
+    df = spark.createDataFrame(hot + cool, "doc_id long, text string")
+
+    # the capped exact operator alone MISSES the hot-band pair
+    alone = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.7, max_bucket_rows=30
+        ).collect()
+    }
+    assert (500, 501) not in alone and (600, 601) in alone
+
+    # the composed operator catches both (exact half + LSH sweep)
+    swept = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_with_lsh_sweep(
+            df, threshold=0.7, max_bucket_rows=30
+        ).collect()
+    }
+    assert {(500, 501), (600, 601)} <= swept
+
+    # and the curation plan drops the higher id of BOTH pairs
+    out = {r["doc_id"]: r["reason"] for r in curate_documents(
+        df, min_tokens=3, max_tokens=100, lang=None,
+        near_dup_method="ngram", ngram_max_bucket_rows=30,
+        near_dup_threshold=0.7,
+    ).collect()}
+    assert out[501] == "near_duplicate" and out[601] == "near_duplicate"
+    assert out[500] == "kept" and out[600] == "kept"
