@@ -212,6 +212,20 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
 
 
+def q_token_packing_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: sequence packing over a STRING-keyed corpus (VERDICT item
+    9) — ids 'd<doc_id>' sort LEXICOGRAPHICALLY (d1 < d10 < d2 …), so this
+    exercises the order-preserving surrogate bucketing, not just a numeric
+    relabel; the oracle is the naive global window ordered by the string."""
+    from json_schema_py_spark.operators.packing import assign_token_spans
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    return assign_token_spans(d, max_tokens=512)
+
+
 def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-writer manifest over the packed token stream: per-window doc
     and landing-token counts (exact tiling of the global concatenation)."""
@@ -579,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_curation": q_curation,
         "q_token_packing": q_token_packing,
+        "q_token_packing_str": q_token_packing_str,
         "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -871,6 +886,19 @@ c AS (
   FROM base
 )
 SELECT doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
+  ((cum - n) // 512)::BIGINT AS first_pack,
+  ((cum - 1) // 512)::BIGINT AS last_pack
+FROM c
+""",
+        "q_token_packing_str": f"""
+WITH base AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid, len({_TOKS}) AS n FROM documents
+), c AS (
+  SELECT sid, n,
+    SUM(n) OVER (ORDER BY sid ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT sid AS doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
   ((cum - n) // 512)::BIGINT AS first_pack,
   ((cum - 1) // 512)::BIGINT AS last_pack
 FROM c
