@@ -154,3 +154,29 @@ def test_variant_bigint_and_precision_corners(spark):
         ).collect()
     }
     assert out2 == {("NUMBER_TOO_SMALL", "/a~1b")}
+
+
+def test_variant_invalid_pattern_properties_schema_invalid(spark):
+    """Python-invalid patternProperties regex: SCHEMA_INVALID at the
+    OBJECT's path, once per pattern per validated object (reference
+    objects.py:147-152) — round-3 parity fix, matching pyeval and the
+    static binder."""
+    from json_schema_py_spark.plans.json_variant import validate_json_variant
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "{}"), (3, "[1]")],
+        "doc_id long, payload string",
+    )
+    out = {
+        (r["doc_id"], r["rule_id"], r["path"], r["observed"])
+        for r in validate_json_variant(
+            df, "payload", {"patternProperties": {"[": {"type": "integer"}}}
+        ).collect()
+    }
+    # objects (even empty) emit; the array doc is not an object (inferred
+    # object type gate -> TYPE_ERROR)
+    assert out == {
+        (1, "SCHEMA_INVALID", "", "["),
+        (2, "SCHEMA_INVALID", "", "["),
+        (3, "TYPE_ERROR", "", "[1]"),
+    }
