@@ -1086,6 +1086,31 @@ class RuleBinder:
 # ---------------------------------------------------------------------- #
 
 
+# Compiled-Column cache. Building the expression tree is DRIVER-side Python
+# crossing py4j once per Column op — measured ~1.3s for the documents
+# ruleset's unrolled tree, which DWARFS executing it (0.13s over 2M rows,
+# plan reused). A Column is an immutable unresolved-expression tree bound
+# to nothing but column NAMES, so one build serves every DataFrame with a
+# matching schema (and survives session restarts within the process — the
+# py4j gateway is per-process). Keyed by content (schema JSON + struct type
+# + flags), never id() (round-2 lesson: id() keys collide after gc).
+# Rule-instance schemas skip the cache (no stable content key).
+_COMPILE_CACHE: dict = {}
+_COMPILE_CACHE_MAX = 256
+
+
+def _compile_cache_key(schema: Any, struct_type: T.StructType, mode: str) -> Optional[tuple]:
+    if isinstance(schema, Rule):
+        return None
+    import json as _json
+
+    try:
+        skey = _json.dumps(schema, sort_keys=True, default=str)
+    except (TypeError, ValueError):
+        return None
+    return (skey, struct_type.json(), mode)
+
+
 def compile_ruleset(
     schema: Any, struct_type: T.StructType, verbose: bool = False
 ) -> Column:
@@ -1093,17 +1118,23 @@ def compile_ruleset(
 
     Returns a Column producing ``array<struct<rule_id,path,observed>>`` for a
     row treated as the document (root path = ""). Compilation happens
-    driver-side ONCE per run — unlike the reference's recompile-per-validate
+    driver-side ONCE per (schema, struct_type) per process — cached, since
+    the py4j expression build costs ~10x the 2M-row execution (see
+    _COMPILE_CACHE) — unlike the reference's recompile-per-validate
     (json_schema/api.py:115-119).
 
     Execution shape: the allocation-free boolean `fires` predicate gates the
     violation-array construction, so clean rows (the overwhelming majority at
     10^12 scale) never allocate a struct, a path string, or an array. The row
     is bound as a lambda variable so derived input columns are evaluated once."""
+    key = _compile_cache_key(schema, struct_type, f"viol:{verbose}")
+    cached = _COMPILE_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return cached
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     bound = RuleBinder(verbose=verbose).bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
-    return F.get(
+    col = F.get(
         F.transform(
             F.array(root),
             lambda row: F.when(bound.fires(row), bound.viol(row, F.lit(""))).otherwise(
@@ -1112,15 +1143,29 @@ def compile_ruleset(
         ),
         0,
     )
+    if key is not None:
+        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE.clear()
+        _COMPILE_CACHE[key] = col
+    return col
 
 
 def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
     """Just the boolean fast path: does ANY rule fire for the row? Useful for
     pass/fail filtering and partition verdicts without violation details."""
+    key = _compile_cache_key(schema, struct_type, "fires")
+    cached = _COMPILE_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return cached
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     bound = RuleBinder().bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
-    return F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
+    col = F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
+    if key is not None:
+        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE.clear()
+        _COMPILE_CACHE[key] = col
+    return col
 
 
 def with_violations(
