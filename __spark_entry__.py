@@ -279,6 +279,40 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: test-set decontamination — corpus docs sharing ≥3 distinct
+    8-gram shingles with a benchmark item (benchmark = docs 0-9 replayed as
+    eval items, so contamination is planted by construction); oracle is
+    brute-force list_intersect over the same shingle definition."""
+    from json_schema_py_spark.operators.contamination import contamination_hits
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("bench_id"), "text"
+    )
+    return contamination_hits(d, bench, shingle_k=8, min_shared=3)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: PII scanner — per-doc occurrence counts for email / phone /
+    SSN-like / IPv4 patterns. The synthetic corpus carries no organic PII,
+    so deterministic plants are appended per residue class; the oracle
+    re-counts with DuckDB regexp_extract_all over identical patterns."""
+    from json_schema_py_spark.operators.contamination import pii_scan
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" reach bob@example.com now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 today")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789 leaked")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" host 10.0.0.1 up")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(d)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.dedup import simhash
 
@@ -599,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_contamination": q_contamination,
+        "q_pii_scan": q_pii_scan,
         "q_simhash": q_simhash,
         "q_simhash_near_pairs": q_simhash_near_pairs,
         "q_ann_topk": q_ann_topk,
@@ -970,6 +1006,33 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        # brute-force list_intersect over the SAME 8-gram shingle definition
+        "q_contamination": f"""
+WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
+b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
+      FROM documents WHERE doc_id < 10)
+SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
+FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 3
+""",
+        "q_pii_scan": """
+WITH d AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' reach bob@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 leaked' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.0.1 up' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_email,
+  len(regexp_extract_all(text, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::INT AS n_phone,
+  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::INT AS n_ssn_like,
+  len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::INT AS n_ipv4,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+   + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+   + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))::INT AS pii_total
+FROM d
 """,
         "q_simhash": _simhash_sql(),
         # brute-force Hamming truth: the block-partition join is EXACT at

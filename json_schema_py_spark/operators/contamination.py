@@ -1,0 +1,114 @@
+"""Training-data decontamination: flag corpus documents that overlap a
+benchmark/evaluation set by shared word n-grams — the standard pretraining
+hygiene pass (strip eval contamination before training).
+
+Scale shape: the benchmark side is SMALL (eval suites are thousands of
+items, the corpus is 10^12 docs), so the benchmark's exploded shingle set
+broadcasts and the corpus NEVER shuffles — one scan, a broadcast hash join
+per shingle, a partial-aggregated groupBy on (doc, bench) pairs whose
+cardinality is bounded by actual contamination (rare by construction).
+The corpus-side explode is the only row amplification (~tokens per doc),
+all map-side.
+
+PII scanning rides along (same per-doc projection family): pure-JVM
+regexp_count per pattern class — no UDFs, no shuffle, prunes to the text
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.functions.text import word_shingles
+from json_schema_py_spark.util import ensure_parallelism
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
+    distinct word ``shingle_k``-grams with a benchmark item.
+
+    ``shingle_k`` defaults to 8 — the usual decontamination window (a
+    13-gram is common for exact-match decontamination; 8 is conservative
+    for short eval items). word_shingles is distinct per side, so n_shared
+    counts DISTINCT shared n-grams (set semantics, matching the DuckDB
+    list_intersect oracle)."""
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), shingle_k)).alias("sh"),
+    )
+    doc_sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (left-anti on contamination_hits'
+    doc ids) — the drop list stays distributed; only the benchmark side
+    broadcasts."""
+    hits = contamination_hits(
+        docs, benchmark, text_col, id_col, bench_text_col, bench_id_col,
+        shingle_k, min_shared,
+    ).select("doc_id").distinct()
+    return docs.join(
+        hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
+# --- PII scan -------------------------------------------------------------
+
+# deliberately simple, deterministic patterns (shared verbatim with the
+# DuckDB oracle): this is a SCANNER for triage/stats, not a redactor —
+# production redaction plugs its own pattern pack into pii_scan(patterns=)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(doc_id, n_<class>..., pii_total) — occurrence counts per PII class
+    via JVM-side regexp_count; one projection, no shuffle."""
+    pats = patterns or PII_PATTERNS
+    counts: list[Column] = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts)
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)

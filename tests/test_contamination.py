@@ -1,0 +1,87 @@
+"""Decontamination + PII scan: planted overlap is found, clean docs
+survive, and the corpus side never shuffles before the hit aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    from json_schema_py_spark.operators.contamination import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # benchmark: verbatim copies of docs 0-4 → those docs are contaminated
+    # by construction; every other doc's 8-grams are residue-class distinct
+    bench = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("bench_id"), "text"
+    )
+    hits = contamination_hits(docs, bench, shingle_k=8, min_shared=3)
+    got = {(r["doc_id"], r["bench_id"]) for r in hits.collect()}
+    assert {(i, i + 900000) for i in range(5)} <= got
+    # n_shared for a verbatim copy equals the doc's own distinct 8-gram count
+    from json_schema_py_spark.functions.text import word_shingles
+
+    own = {
+        r["doc_id"]: r["n"]
+        for r in docs.where(F.col("doc_id") < 5)
+        .select("doc_id", F.size(word_shingles(F.col("text"), 8)).alias("n"))
+        .collect()
+    }
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in hits.where(F.col("doc_id") < 5).collect()
+        if r["bench_id"] == r["doc_id"] + 900000
+    }
+    assert exact == {(i, own[i]) for i in range(5)}
+
+    clean = decontaminate(docs, bench, shingle_k=8, min_shared=3)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in hits.select("doc_id").distinct().collect()}
+    assert kept == {r["doc_id"] for r in docs.collect()} - dropped
+    assert not (set(range(5)) & kept)
+
+
+def test_contamination_corpus_side_never_shuffles_before_hits(spark):
+    """The benchmark side broadcasts; the only Exchange in the plan is the
+    (doc_id, bench_id) hit aggregation — bounded by actual contamination,
+    never the corpus."""
+    from json_schema_py_spark.operators.contamination import contamination_hits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("bench_id"), "text"
+    )
+    plan = (
+        contamination_hits(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # exactly one shuffle origin: the hits groupBy (partial agg map-side)
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pii_scan_counts(spark):
+    from json_schema_py_spark.operators.contamination import pii_scan
+
+    rows = [
+        (1, "write to a.b+c@ex-ample.org or x@y.io thanks"),
+        (2, "call 555-123-4567 or +1 555 987 6543"),
+        (3, "ssn 123-45-6789 and ip 192.168.0.1 leaked"),
+        (4, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ssn_like"], r["n_ipv4"], r["pii_total"])
+           for r in pii_scan(df).collect()}
+    assert got[1] == (2, 0, 0, 0, 2)
+    # both numbers are 3-3-4 shaped ([-. ] includes space): 555-123-4567
+    # and '555 987 6543' count; the +1 country prefix is outside the match
+    assert got[2] == (0, 2, 0, 0, 2)
+    assert got[3] == (0, 0, 1, 1, 2)
+    assert got[4] == (0, 0, 0, 0, 0)
