@@ -11,12 +11,14 @@ Stage order and reason priority (first matching wins):
 1. ``too_short`` / ``too_long``   — token-count bounds (functions/text.tokens)
 2. ``lang_mismatch``              — n-gram-heuristic language id
 3. ``low_quality``                — stopword-ratio floor (boilerplate/garbage)
-4. ``exact_duplicate``            — same normalized-text fingerprint as a
+4. ``pii`` (opt-in)               — PII occurrence count above max_pii_total
+                                    (operators/contamination.PII_PATTERNS)
+5. ``exact_duplicate``            — same normalized-text fingerprint as a
                                     SURVIVING doc with a smaller id
-5. ``near_duplicate``             — verified Jaccard ≥ threshold against
+6. ``near_duplicate``             — verified Jaccard ≥ threshold against
                                     ANY smaller-id doc in the dedup corpus
                                     (MinHash-LSH candidates, exact verify)
-6. ``kept``
+7. ``kept``
 
 Dedup stages see only quality-surviving docs (dropping garbage first keeps
 the shuffle small and mirrors production pipelines). The smaller-id-wins
@@ -61,6 +63,7 @@ def curate_documents(
     near_dup_threshold: float = 0.7,
     near_dup_method: str = "lsh",
     ngram_max_bucket_rows: int = 1000,
+    max_pii_total: int | None = None,
 ) -> DataFrame:
     """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc.
 
@@ -69,7 +72,13 @@ def curate_documents(
     within length bands, with bands hotter than ``ngram_max_bucket_rows``
     automatically swept by LSH (ngram_jaccard_pairs_with_lsh_sweep) — a
     capped band's near-dups are still caught, never silently lost
-    (round-2 VERDICT item 7; pinned in tests/test_curation.py)."""
+    (round-2 VERDICT item 7; pinned in tests/test_curation.py).
+
+    ``max_pii_total`` (round-3): docs whose PII occurrence count
+    (operators/contamination.pii_scan classes) exceeds the cap drop with
+    reason ``"pii"`` — slotted after ``low_quality`` in the priority chain,
+    before dedup (PII docs never enter the dedup corpus: they must not
+    survive as the smaller-id keeper of a duplicate family)."""
     if near_dup_method not in ("lsh", "ngram"):
         raise ValueError(f"near_dup_method must be 'lsh' or 'ngram', got {near_dup_method!r}")
     base = docs.select(
@@ -89,6 +98,16 @@ def curate_documents(
         )
         .when(F.col("_swr") < min_stopword_ratio, F.lit("low_quality"))
     )
+    if max_pii_total is not None:
+        from json_schema_py_spark.operators.contamination import PII_PATTERNS
+
+        pii_total = None
+        for pat in PII_PATTERNS.values():
+            c = F.regexp_count(F.col("text"), F.lit(pat))
+            pii_total = c if pii_total is None else pii_total + c
+        quality_reason = quality_reason.when(
+            pii_total > max_pii_total, F.lit("pii")
+        )
     staged = base.withColumn("_qreason", quality_reason)
     surviving = staged.where(F.col("_qreason").isNull())
 

@@ -102,3 +102,31 @@ def test_curation_ngram_capped_band_swept_by_lsh(spark):
     ).collect()}
     assert out[501] == "near_duplicate" and out[601] == "near_duplicate"
     assert out[500] == "kept" and out[600] == "kept"
+
+
+def test_curation_pii_reason(spark):
+    """max_pii_total: PII-heavy docs drop with reason 'pii' BEFORE dedup —
+    a PII doc must never survive as the smaller-id keeper of a duplicate
+    family (its clean higher-id duplicate is kept instead)."""
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    base = "the cat sat on the mat and it is a fine day for everyone involved"
+    rows = [
+        (1, base + " email me at leak@example.com or 555-123-4567 now"),
+        (2, base + " email me at leak@example.com or 555-123-4567 now"),  # dup of 1
+        (3, base),
+        (4, base),  # exact dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["reason"] for r in curate_documents(
+        df, min_tokens=3, max_tokens=100, lang=None, max_pii_total=1
+    ).collect()}
+    # 1 and 2 exceed the PII cap (2 hits each); 2 drops as pii, NOT as a
+    # duplicate of 1 (pii outranks dedup); 3 keeps, 4 drops as exact dup
+    assert out[1] == "pii" and out[2] == "pii"
+    assert out[3] == "kept" and out[4] == "exact_duplicate"
+    # without the cap the same corpus keeps 1 and drops 2 as duplicate
+    out2 = {r["doc_id"]: r["reason"] for r in curate_documents(
+        df, min_tokens=3, max_tokens=100, lang=None
+    ).collect()}
+    assert out2[1] == "kept" and out2[2] == "exact_duplicate"
