@@ -108,3 +108,39 @@ def test_variant_path_binds_to_streams(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {tuple(r) for r in spark.sql("select * from variant_stream").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_pii_scan_binds_to_streams(spark, tmp_path):
+    """pii_scan is one stateless projection, so the same compiled plan
+    scans a STREAM of documents — AvailableNow micro-batches equal the
+    batch run row-for-row (the triage path for live ingest)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.contamination import pii_scan
+
+    src = str(tmp_path / "pin")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" mail x@y.io")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    docs.write.parquet(src)
+    batch = {tuple(r) for r in pii_scan(docs).collect()}
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        pii_scan(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.sql("select * from pii_stream").collect()}
+    assert streamed == batch and any(r[1] > 0 for r in batch)
