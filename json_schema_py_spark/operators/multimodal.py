@@ -5,12 +5,19 @@ feature-extract run as Arrow-batched pandas functions over ``mapInPandas`` —
 the ONLY place this engine leaves the JVM, and it does so in columnar
 batches, never per-row Python (BASELINE.json input_hint mandate).
 
-The decode step itself is STUBBED: the sandbox has no image/audio libs, so
-``decode=fake`` produces deterministic md5-derived features and
-``decode=real`` raises NotImplementedError with the integration point
-documented. Everything AROUND the stub — schema, batch iteration, partition
-sizing — is real and tested; swapping in PIL/torchaudio is a one-function
-change at the marked site.
+Decode modes:
+
+* ``decode="ppm"`` — a REAL decoder (round 3): binary PPM/P6 images parse
+  with numpy alone (header tokenizer incl. comments, raw RGB plane), and
+  feed real feature extraction (dims, channel means, luma stats) plus a
+  nearest-neighbor thumbnailer (``ppm_thumbnails``). Undecodable payloads
+  yield NULL features, never a task failure.
+* ``decode="fake"`` — deterministic md5-derived features, kept because it
+  is DuckDB-oracle-expressible (the driver gate's exact-arithmetic check).
+* ``decode="real"`` — PIL/torchaudio-class formats (JPEG/PNG/WAV) still
+  raise NotImplementedError: those libs aren't in this container. The PPM
+  path exercises the identical batch plumbing with a genuine decoder, so
+  swapping in PIL remains a one-function change at the marked site.
 """
 
 from __future__ import annotations
@@ -63,16 +70,85 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def _parse_p6(payload: bytes):
+    """Binary PPM (P6) → (height, width, 3) uint8 ndarray, or None for
+    anything malformed/truncated. Header grammar per the netpbm spec:
+    'P6', then whitespace-separated width/height/maxval with '#' comments
+    allowed between tokens, then ONE whitespace byte, then raw RGB."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if not b.startswith(b"P6"):
+        return None
+    i, n = 2, len(b)
+    vals: list[int] = []
+    while len(vals) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":  # comment to end of line
+            while i < n and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < n and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(b[i:j]))
+        i = j
+    if len(vals) < 3 or i >= n:
+        return None
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    if maxval > 255:  # 2-byte samples: out of scope for this decoder
+        return None
+    need = w * h * 3
+    if n - i < need:
+        return None
+    return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+
+
+def _ppm_decode_features(payload: bytes):
+    """REAL feature extraction from a P6 payload: [width, height, mean R,
+    mean G, mean B, luma std, luma max, luma min] (channels normalized to
+    [0,1], Rec.601 luma). None for undecodable payloads."""
+    arr = _parse_p6(payload)
+    if arr is None:
+        return None
+    rgb = arr.astype("float64") / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    return [
+        float(arr.shape[1]),
+        float(arr.shape[0]),
+        float(r.mean()),
+        float(g.mean()),
+        float(b.mean()),
+        float(luma.std()),
+        float(luma.max()),
+        float(luma.min()),
+    ]
+
+
 def extract_media_features(media_with_payload: DataFrame, decode: str = "fake") -> DataFrame:
     """(media_ref, mime, features: array<double>) via Arrow-batched
     mapInPandas. Batches arrive as pandas DataFrames sized by
     spark.sql.execution.arrow.maxRecordsPerBatch — decode cost is amortized
-    per batch, and partition count (not row count) bounds Python overhead."""
+    per batch, and partition count (not row count) bounds Python overhead.
+
+    ``decode="ppm"`` runs the REAL P6 decoder (NULL features on
+    undecodable payloads); ``"fake"`` stays the DuckDB-oracle-expressible
+    arithmetic; ``"real"`` (PIL-class formats) remains the documented
+    stub."""
     if decode == "real":
         raise NotImplementedError(
-            "real media decode needs image/audio libs not present in this "
-            "container; see _fake_decode_features for the integration point"
+            "JPEG/PNG/audio decode needs libs not present in this "
+            "container; decode='ppm' is the real-decoder reference "
+            "implementation — swap PIL in at _ppm_decode_features' seam"
         )
+    decoder = _ppm_decode_features if decode == "ppm" else _fake_decode_features
 
     out_schema = T.StructType(
         [
@@ -88,11 +164,68 @@ def extract_media_features(media_with_payload: DataFrame, decode: str = "fake") 
                 {
                     "media_ref": pdf["media_ref"],
                     "mime": pdf["mime"],
-                    "features": pdf["payload"].map(_fake_decode_features),
+                    "features": pdf["payload"].map(decoder),
                 }
             )
 
     return media_with_payload.select("media_ref", "mime", "payload").mapInPandas(
+        batches, out_schema
+    )
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic REAL P6 image (gradient + seed phase) — the payload
+    generator tests and demos feed through the real decoder."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    arr = np.stack(
+        [
+            (x * 3 + seed) % 256,
+            (y * 5 + seed * 2) % 256,
+            (x + y + seed) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def ppm_thumbnails(
+    media_with_payload: DataFrame, size: tuple[int, int] = (4, 4)
+) -> DataFrame:
+    """(media_ref, thumb: array<double>) — nearest-neighbor luma thumbnail
+    (row-major, h*w values in [0,1]) via the same Arrow-batched plumbing;
+    the RESIZE step of the decode/feature/resize/frame-sample family.
+    NULL for undecodable payloads."""
+    import numpy as np
+
+    th, tw = size
+
+    def one(payload: bytes):
+        arr = _parse_p6(payload)
+        if arr is None:
+            return None
+        h, w, _ = arr.shape
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        rgb = arr[ys][:, xs].astype("float64") / 255.0
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return [float(v) for v in luma.ravel()]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("thumb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "thumb": pdf["payload"].map(one)}
+            )
+
+    return media_with_payload.select("media_ref", "payload").mapInPandas(
         batches, out_schema
     )
 

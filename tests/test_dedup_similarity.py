@@ -335,3 +335,50 @@ def test_simhash_near_pairs_bucket_cap_and_audit(spark):
         for r in simhash_near_pairs(base, max_hamming=3).collect()
     }
     assert {(r["id_a"], r["id_b"]) for r in capped} == plain
+
+
+def test_ppm_real_decode_and_thumbnails(spark):
+    """REAL decode (round 3): binary PPM/P6 images parse with numpy alone —
+    features and nearest-neighbor thumbnails match a hand-computed numpy
+    truth; malformed/truncated payloads yield NULL features, never a task
+    failure; header comments are honored per the netpbm spec."""
+    import numpy as np
+
+    from json_schema_py_spark.operators.multimodal import (
+        _parse_p6,
+        extract_media_features,
+        make_ppm,
+        ppm_thumbnails,
+    )
+
+    good = make_ppm(6, 4, seed=7)
+    commented = (
+        b"P6\n# a comment\n6 4\n# another\n255\n" + good.split(b"255\n", 1)[1]
+    )
+    rows = [
+        ("m/0", "image/x-portable-pixmap", bytearray(good), 6, 4),
+        ("m/1", "image/x-portable-pixmap", bytearray(commented), 6, 4),
+        ("m/2", "image/x-portable-pixmap", bytearray(good[:-5]), 6, 4),  # truncated
+        ("m/3", "image/x-portable-pixmap", bytearray(b"nonsense"), 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, mime string, payload binary, width int, height int"
+    )
+    got = {
+        r["media_ref"]: r["features"]
+        for r in extract_media_features(df, decode="ppm").collect()
+    }
+    arr = _parse_p6(good)
+    rgb = arr.astype("float64") / 255.0
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    expect = [6.0, 4.0, rgb[..., 0].mean(), rgb[..., 1].mean(), rgb[..., 2].mean(),
+              float(luma.std()), float(luma.max()), float(luma.min())]
+    assert got["m/0"] == [float(x) for x in expect]
+    assert got["m/1"] == got["m/0"]  # comments in the header parse fine
+    assert got["m/2"] is None and got["m/3"] is None
+
+    thumbs = {r["media_ref"]: r["thumb"] for r in ppm_thumbnails(df, size=(2, 3)).collect()}
+    ys, xs = (np.arange(2) * 4) // 2, (np.arange(3) * 6) // 3
+    tl = luma[ys][:, xs].ravel()
+    assert thumbs["m/0"] == [float(v) for v in tl]
+    assert thumbs["m/3"] is None
