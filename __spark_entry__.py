@@ -593,6 +593,54 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: REAL media decode gate — deterministic P6 images (gradient
+    pixels (x*3+s)%256 / (y*5+2s)%256 / (x+y+s)%256) are generated and
+    decoded by the numpy PPM decoder; the oracle recomputes every feature
+    CLOSED-FORM over the pixel grid in SQL (means, population luma std,
+    max/min). Proves the decoder against independent math, not itself."""
+    import pandas as pd
+
+    from json_schema_py_spark.functions.text import stable_hash64
+    from json_schema_py_spark.operators.multimodal import (
+        extract_media_features,
+        make_ppm,
+    )
+
+    media = spark.range(37).select(
+        F.concat(F.lit("m/"), F.col("id").cast("string")).alias("media_ref"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        (F.pmod(stable_hash64(F.concat(F.lit("m/"), F.col("id").cast("string")), seed="w"), F.lit(12)) + 4).cast("int").alias("w"),
+        (F.pmod(stable_hash64(F.concat(F.lit("m/"), F.col("id").cast("string")), seed="h"), F.lit(12)) + 4).cast("int").alias("h"),
+        F.pmod(stable_hash64(F.concat(F.lit("m/"), F.col("id").cast("string")), seed="s"), F.lit(256)).cast("int").alias("seed"),
+    )
+
+    import pyspark.sql.types as T
+
+    def gen(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                bytearray(make_ppm(int(w), int(h), int(s)))
+                for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+            ]
+            yield pdf[["media_ref", "mime", "payload"]]
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    with_payload = media.mapInPandas(gen, gen_schema)
+    feats = extract_media_features(with_payload, decode="ppm")
+    return feats.select(
+        "media_ref",
+        *[F.round(F.get(F.col("features"), i), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition pass/fail rollup on a DURABLE partition key
     (src_id % 16 — content-derived, layout-independent), so DuckDB can
@@ -633,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_media_ppm": q_media_ppm,
         "q_contamination": q_contamination,
         "q_pii_scan": q_pii_scan,
         "q_simhash": q_simhash,
@@ -1006,6 +1055,32 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        # closed-form pixel math over the deterministic gradient images —
+        # the REAL numpy decoder is checked against independent SQL, not
+        # against itself
+        "q_media_ppm": f"""
+WITH m AS (
+  SELECT 'm/' || CAST(i AS VARCHAR) AS media_ref,
+    ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'w')} % 12) + 4 AS w,
+    ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'h')} % 12) + 4 AS h,
+    {_hash64_sql("'m/' || CAST(i AS VARCHAR)", 's')} % 256 AS s
+  FROM range(37) t(i)
+), px AS (
+  SELECT m.media_ref, m.w, m.h,
+    ((x.x * 3 + m.s) % 256) / 255.0 AS r,
+    ((y.y * 5 + m.s * 2) % 256) / 255.0 AS g,
+    ((x.x + y.y + m.s) % 256) / 255.0 AS b
+  FROM m, range(16) x(x), range(16) y(y)
+  WHERE x.x < m.w AND y.y < m.h
+)
+SELECT media_ref,
+  ROUND(MAX(w)::DOUBLE, 6) AS f0, ROUND(MAX(h)::DOUBLE, 6) AS f1,
+  ROUND(AVG(r), 6) AS f2, ROUND(AVG(g), 6) AS f3, ROUND(AVG(b), 6) AS f4,
+  ROUND(stddev_pop(0.299*r + 0.587*g + 0.114*b), 6) AS f5,
+  ROUND(MAX(0.299*r + 0.587*g + 0.114*b), 6) AS f6,
+  ROUND(MIN(0.299*r + 0.587*g + 0.114*b), 6) AS f7
+FROM px GROUP BY media_ref
 """,
         # brute-force list_intersect over the SAME 8-gram shingle definition
         "q_contamination": f"""
