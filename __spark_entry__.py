@@ -599,8 +599,6 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded by the numpy PPM decoder; the oracle recomputes every feature
     CLOSED-FORM over the pixel grid in SQL (means, population luma std,
     max/min). Proves the decoder against independent math, not itself."""
-    import pandas as pd
-
     from json_schema_py_spark.functions.text import stable_hash64
     from json_schema_py_spark.operators.multimodal import (
         extract_media_features,

@@ -93,6 +93,20 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_total_col(text_col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Total PII occurrence count across pattern classes as ONE Column —
+    the shared primitive behind pii_scan and curation's 'pii' drop reason
+    (one definition so the two can never count differently, review r03)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty (None selects the defaults)")
+    total = None
+    for p in pats.values():
+        c = F.regexp_count(text_col, F.lit(p))
+        total = c if total is None else total + c
+    return total
+
+
 def pii_scan(
     docs: DataFrame,
     text_col: str = "text",
@@ -100,8 +114,12 @@ def pii_scan(
     patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """(doc_id, n_<class>..., pii_total) — occurrence counts per PII class
-    via JVM-side regexp_count; one projection, no shuffle."""
-    pats = patterns or PII_PATTERNS
+    via JVM-side regexp_count; one projection, no shuffle. ``patterns=None``
+    selects PII_PATTERNS; an explicitly EMPTY dict is an error, never a
+    silent fallback (review r03)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty (None selects the defaults)")
     counts: list[Column] = [
         F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
         for name, p in pats.items()

@@ -196,6 +196,14 @@ def minhash_lsh_pairs(
     )
 
 
+def _length_band(text_col: str) -> Column:
+    """The token-count blocking band (16-token bins) — ONE definition shared
+    by _ngram_blocked and the LSH-sweep's capped-doc selection so the two
+    can never diverge (review finding r03: a drifted copy would silently
+    select zero capped docs and lose hot-band near-dups)."""
+    return (F.size(tokens(F.col(text_col))) / 16).cast("int")
+
+
 def _ngram_blocked(
     df: DataFrame,
     text_col: str,
@@ -206,11 +214,7 @@ def _ngram_blocked(
     return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-        (
-            (F.size(tokens(F.col(text_col))) / 16).cast("int")
-            if bucket_by_token_count
-            else F.lit(0)
-        ).alias("lb"),
+        (_length_band(text_col) if bucket_by_token_count else F.lit(0)).alias("lb"),
     )
 
 
@@ -295,9 +299,7 @@ def ngram_jaccard_pairs_with_lsh_sweep(
     # (≤ distinct bands), broadcasting the capped DOCS would not be: one
     # hot band can hold billions of rows
     capped = (
-        df.withColumn(
-            "_lb", (F.size(tokens(F.col(text_col))) / 16).cast("int")
-        )
+        df.withColumn("_lb", _length_band(text_col))
         .join(F.broadcast(over.withColumnRenamed("lb", "_lb")), "_lb")
         .drop("_lb")
     )
@@ -384,12 +386,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         # pack via bitwise-OR fold over unrolled per-bit literals: 2^63 is
         # not representable as a positive long (the old F.pow(2.0, b) double
         # path would ANSI-overflow at bit 63), so bit 63's literal is
-        # Long.MIN_VALUE and the fold is OR, never arithmetic
+        # Long.MIN_VALUE and the fold is OR, never arithmetic. The n > 0
+        # guard keeps zero-token docs at simhash 0 — without it the vacuous
+        # majority vote (0*2 >= 0) set EVERY bit, diverging from the DuckDB
+        # oracle's NULL-sum → 0 rendering (review finding r03)
         return F.aggregate(
             F.array(
                 *[
                     F.when(
-                        F.get(acc, b) * 2 >= n,
+                        (n > 0) & (F.get(acc, b) * 2 >= n),
                         F.lit((1 << b) if b < 63 else -(1 << 63)).cast("bigint"),
                     ).otherwise(F.lit(0).cast("bigint"))
                     for b in range(bits)
@@ -414,14 +419,18 @@ def _simhash_banded(
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     s = simhash(df, text_col, id_col, bits)
-    blocks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1 if i < n_blocks - 1 else (1 << (bits - i * width)) - 1)
-            )
-            for i in range(n_blocks)
-        ]
-    )
+
+    def _block(i: int) -> Column:
+        nbits = width if i < n_blocks - 1 else bits - i * width
+        shifted = F.shiftright(F.col("simhash"), i * width)
+        if nbits >= 64:
+            # full-width block (max_hamming=0 at bits=64): (1<<64)-1 is not
+            # a long literal — the identity mask is all-ones = -1
+            # (review finding r03)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << nbits) - 1))
+
+    blocks = F.array(*[_block(i) for i in range(n_blocks)])
     return s.select("id", "simhash", F.posexplode(blocks).alias("block", "bval"))
 
 

@@ -98,7 +98,12 @@ def _parse_p6(payload: bytes):
         i = j
     if len(vals) < 3 or i >= n:
         return None
-    i += 1  # the single whitespace after maxval
+    if not b[i : i + 1].isspace():
+        # the byte after maxval MUST be a single whitespace — skipping a
+        # junk byte here would shift the pixel plane by one and return
+        # garbage features instead of the documented NULL (review r03)
+        return None
+    i += 1
     w, h, maxval = vals
     if w <= 0 or h <= 0 or not 0 < maxval < 65536:
         return None
@@ -148,6 +153,11 @@ def extract_media_features(media_with_payload: DataFrame, decode: str = "fake") 
             "container; decode='ppm' is the real-decoder reference "
             "implementation — swap PIL in at _ppm_decode_features' seam"
         )
+    if decode not in ("ppm", "fake"):
+        # never silently fall back to the fake decoder: a typo ('PPM',
+        # 'p6') would return plausible md5 pseudo-features with no signal
+        # (review r03)
+        raise ValueError(f"decode must be 'ppm', 'fake', or 'real', got {decode!r}")
     decoder = _ppm_decode_features if decode == "ppm" else _fake_decode_features
 
     out_schema = T.StructType(

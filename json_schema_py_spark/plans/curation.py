@@ -99,14 +99,10 @@ def curate_documents(
         .when(F.col("_swr") < min_stopword_ratio, F.lit("low_quality"))
     )
     if max_pii_total is not None:
-        from json_schema_py_spark.operators.contamination import PII_PATTERNS
+        from json_schema_py_spark.operators.contamination import pii_total_col
 
-        pii_total = None
-        for pat in PII_PATTERNS.values():
-            c = F.regexp_count(F.col("text"), F.lit(pat))
-            pii_total = c if pii_total is None else pii_total + c
         quality_reason = quality_reason.when(
-            pii_total > max_pii_total, F.lit("pii")
+            pii_total_col(F.col("text")) > max_pii_total, F.lit("pii")
         )
     staged = base.withColumn("_qreason", quality_reason)
     surviving = staged.where(F.col("_qreason").isNull())

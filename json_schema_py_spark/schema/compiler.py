@@ -1105,7 +1105,10 @@ def _compile_cache_key(schema: Any, struct_type: T.StructType, mode: str) -> Opt
     import json as _json
 
     try:
-        skey = _json.dumps(schema, sort_keys=True, default=str)
+        # key order is PRESERVED (no sort_keys): properties order drives the
+        # engine's order-exact violation emission, so two schemas differing
+        # only in key order must compile separately (review finding r03)
+        skey = _json.dumps(schema, default=str)
     except (TypeError, ValueError):
         return None
     return (skey, struct_type.json(), mode)

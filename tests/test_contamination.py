@@ -85,3 +85,22 @@ def test_pii_scan_counts(spark):
     assert got[2] == (0, 2, 0, 0, 2)
     assert got[3] == (0, 0, 1, 1, 2)
     assert got[4] == (0, 0, 0, 0, 0)
+
+
+def test_pii_scan_guards_and_shared_total(spark):
+    """Review r03: an explicitly empty pattern dict errors (never a silent
+    default-scan fallback); curation's 'pii' reason counts through the
+    same pii_total_col primitive as pii_scan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.contamination import pii_scan, pii_total_col
+
+    df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        pii_scan(df, patterns={})
+    with pytest.raises(ValueError, match="non-empty"):
+        df.select(pii_total_col(F.col("text"), {}))
+    scan = pii_scan(df).collect()[0]
+    total = df.select(pii_total_col(F.col("text")).alias("t")).collect()[0]["t"]
+    assert scan["pii_total"] == total == 1

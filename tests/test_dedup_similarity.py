@@ -382,3 +382,52 @@ def test_ppm_real_decode_and_thumbnails(spark):
     tl = luma[ys][:, xs].ravel()
     assert thumbs["m/0"] == [float(v) for v in tl]
     assert thumbs["m/3"] is None
+
+
+def test_simhash_review_fixes(spark):
+    """Review r03 pins: (a) zero-token docs hash to simhash 0 (not all
+    ones — the vacuous majority vote diverged from the DuckDB oracle);
+    (b) max_hamming=0 at 64 bits works (full-width block needs no mask —
+    (1<<64)-1 is not a long literal) and finds exactly the identical-
+    fingerprint pairs."""
+    from json_schema_py_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")], "doc_id long, text string"
+    )
+    vals = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert vals[1] == 0 and vals[2] == 0 and vals[3] != 0
+
+    d = _docs(spark).where(F.col("doc_id") < 50).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 7000)
+    corpus = d.unionByName(clones)
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(corpus, max_hamming=0).collect()
+    }
+    assert {(i, i + 7000, 0) for i in range(5)} <= pairs
+    assert all(h == 0 for _, _, h in pairs)
+
+
+def test_ppm_decoder_guards(spark):
+    """Review r03: a junk byte where the single post-maxval whitespace
+    belongs yields NULL (not a one-byte-shifted garbage decode), and an
+    unknown decode mode raises instead of silently faking."""
+    import pytest
+
+    from json_schema_py_spark.operators.multimodal import (
+        _parse_p6,
+        extract_media_features,
+        make_ppm,
+    )
+
+    good = make_ppm(4, 4, seed=1)
+    junk_sep = good.replace(b"255\n", b"255X", 1)
+    assert _parse_p6(good) is not None and _parse_p6(junk_sep) is None
+
+    df = spark.createDataFrame(
+        [("m/0", "image/x-portable-pixmap", bytearray(good), 4, 4)],
+        "media_ref string, mime string, payload binary, width int, height int",
+    )
+    with pytest.raises(ValueError, match="decode must be"):
+        extract_media_features(df, decode="PPM")

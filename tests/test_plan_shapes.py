@@ -210,3 +210,23 @@ def test_compile_ruleset_cache_returns_same_column(spark):
     # Rule instances bypass the cache
     r = normalize_schema(schema)
     assert compile_ruleset(r, st) is not compile_ruleset(r, st)
+
+
+def test_compile_cache_preserves_property_order(spark):
+    """Schemas differing ONLY in properties order must compile separately:
+    key order drives the order-exact violation emission, and a sorted-key
+    cache key would hand schema B schema A's emission order (review r03)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from json_schema_py_spark.schema.compiler import compile_ruleset
+
+    st = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())])
+    sa = {"properties": {"a": {"minimum": 10}, "b": {"minimum": 10}}}
+    sb = {"properties": {"b": {"minimum": 10}, "a": {"minimum": 10}}}
+    ca, cb = compile_ruleset(sa, st), compile_ruleset(sb, st)
+    assert ca is not cb
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    ra = df.select(F.transform(ca, lambda v: v["path"]).alias("p")).collect()[0]["p"]
+    rb = df.select(F.transform(cb, lambda v: v["path"]).alias("p")).collect()[0]["p"]
+    assert ra == ["/a", "/b"] and rb == ["/b", "/a"]
