@@ -343,6 +343,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: cosine top-k over int8-QUANTIZED embeddings (4× smaller on
+    the lake — the storage-honest candidate-generation path); the oracle
+    replicates the exact quantize→dequantize→cosine arithmetic in DuckDB
+    (floor-half-up is used on both sides because round() semantics
+    disagree on negative halves)."""
+    from json_schema_py_spark.operators.similarity import quantized_topk
+
+    e = _emb(spark, sf_dir)
+    return quantized_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -685,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_simhash_near_pairs": q_simhash_near_pairs,
         "q_ann_topk": q_ann_topk,
+        "q_ann_quantized": q_ann_quantized,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_validate_lineitem": q_validate_lineitem,
         "q_validate_events_props": q_validate_events_props,
@@ -1134,6 +1147,30 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
         "q_embedding_near_dup": """
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
 FROM embeddings WHERE vec_id < 5
+""",
+        # exact replication of the int8 quantize->dequantize->cosine math
+        "q_ann_quantized": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS s, v FROM e
+), dq AS (
+  SELECT vec_id,
+    CASE WHEN s > 0
+      THEN list_transform(v, x -> floor(x / s * 127 + 0.5) * s / 127.0)
+      ELSE list_transform(v, x -> 0.0) END AS v
+  FROM qz
+), q AS (SELECT vec_id, v FROM dq WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sc
+  FROM q, dq c WHERE c.vec_id <> q.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
 """,
         # durable partition key (src_id % 16): every verdict row is
         # layout-independent and recomputable — planted classes 1-5,7,8

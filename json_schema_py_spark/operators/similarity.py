@@ -306,3 +306,77 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# --- int8 scalar quantization (round 3) -----------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, qvec: array<int>) — per-vector symmetric int8
+    quantization: scale = max(|v|), q_i = floor(v_i/scale*127 + 0.5)
+    (explicit half-up — F.round's HALF_UP and DuckDB's round() disagree on
+    negative halves, floor(+0.5) is identical everywhere). 4x smaller than
+    float32 on the lake; at 100 TB the quantized table is what you scan
+    for candidate generation, refining survivors against the full-precision
+    column. Zero vectors quantize to all-zero with scale 0."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, score, rank) — cosine top-k over DEQUANTIZED
+    int8 vectors (both sides quantized: the storage-honest comparison).
+    Same shape/determinism contract as brute_force_topk; scores differ from
+    exact by the quantization error (|Δcos| ≲ 1e-2 at dim 64, measured) —
+    recall@k stays high because errors are unbiased across candidates."""
+    cq = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _dequant().alias("cv"),
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        _dequant().alias("qv"),
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_score"), round_to).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _dequant() -> Column:
+    """qvec/scale columns → float array (q_i * scale / 127)."""
+    return F.transform(
+        F.col("qvec"), lambda q: q.cast("double") * F.col("scale") / 127.0
+    )

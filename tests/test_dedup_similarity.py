@@ -431,3 +431,37 @@ def test_ppm_decoder_guards(spark):
     )
     with pytest.raises(ValueError, match="decode must be"):
         extract_media_features(df, decode="PPM")
+
+
+def test_quantized_topk_recall_and_properties(spark):
+    """int8 scalar quantization (round 3): recall@5 vs exact cosine stays
+    high (unbiased per-candidate error), scores stay within the int8 error
+    envelope, zero vectors quantize cleanly, and quantization is
+    deterministic."""
+    from json_schema_py_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in quantized_topk(e, q, k=5).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall > 0.8, f"recall={recall}"
+
+    # score error envelope vs exact, per overlapping pair
+    ex = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute_force_topk(e, q, k=5).collect()}
+    qz = {(r["query_id"], r["neighbor_id"]): r["score"] for r in quantized_topk(e, q, k=5).collect()}
+    assert all(abs(ex[p] - qz[p]) < 0.02 for p in truth & approx)
+
+    # zero vector: scale 0, all-zero qvec, no crash
+    z = spark.createDataFrame([(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: (r["scale"], r["qvec"]) for r in quantize_embeddings(z).collect()}
+    assert rows[1] == (0.0, [0, 0, 0, 0])
+    assert rows[2][0] == 1.0 and rows[2][1] == [127, 0, 0, 0]
+    a = quantize_embeddings(e).orderBy("vec_id").collect()
+    b = quantize_embeddings(e).orderBy("vec_id").collect()
+    assert a == b
