@@ -24,6 +24,22 @@ from json_schema_py_spark.functions.text import word_shingles
 from json_schema_py_spark.util import ensure_parallelism
 
 
+def _bench_shingles(
+    benchmark: DataFrame, bench_text_col: str, bench_id_col: str, shingle_k: int
+) -> DataFrame:
+    return benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), shingle_k)).alias("sh"),
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -33,6 +49,7 @@ def contamination_hits(
     bench_id_col: str = "bench_id",
     shingle_k: int = 8,
     min_shared: int = 1,
+    max_shingle_hits: int | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
     distinct word ``shingle_k``-grams with a benchmark item.
@@ -41,20 +58,57 @@ def contamination_hits(
     13-gram is common for exact-match decontamination; 8 is conservative
     for short eval items). word_shingles is distinct per side, so n_shared
     counts DISTINCT shared n-grams (set semantics, matching the DuckDB
-    list_intersect oracle)."""
-    bench_sh = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(bench_text_col), shingle_k)).alias("sh"),
-    )
-    doc_sh = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    list_intersect oracle).
+
+    SCALE CONTRACT (the family's bounded-work doctrine): a benchmark
+    shingle that is COMMON in the corpus (boilerplate an eval item happens
+    to quote) multiplies the join output by its corpus frequency.
+    ``max_shingle_hits`` caps that: shingles matching more than the cap are
+    EXCLUDED (join work ≤ matched-shingles × cap) at the cost of one extra
+    corpus-side counting pass (map-side partial agg, output bounded by the
+    broadcast shingle set). Audit the exclusions with
+    contamination_hot_shingles — a dropped shingle usually IS boilerplate,
+    but the audit lets a human confirm."""
+    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k)
+    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
+    if max_shingle_hits is not None:
+        ok = (
+            doc_sh.join(F.broadcast(bench_sh.select("sh").distinct()), "sh")
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .where(F.col("_hits") <= max_shingle_hits)
+            .select("sh")
+        )
+        bench_sh = bench_sh.join(F.broadcast(ok), "sh")
     return (
         doc_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_hot_shingles(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_k: int = 8,
+    max_shingle_hits: int = 10_000,
+) -> DataFrame:
+    """(sh, hits) for every benchmark shingle contamination_hits would DROP
+    at ``max_shingle_hits`` — the audit trail for the capped run (these are
+    usually corpus boilerplate quoted by an eval item; review before
+    trusting the capped hit list)."""
+    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k)
+    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
+    return (
+        doc_sh.join(F.broadcast(bench_sh.select("sh").distinct()), "sh")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") > max_shingle_hits)
     )
 
 

@@ -104,3 +104,34 @@ def test_pii_scan_guards_and_shared_total(spark):
     scan = pii_scan(df).collect()[0]
     total = df.select(pii_total_col(F.col("text")).alias("t")).collect()[0]["t"]
     assert scan["pii_total"] == total == 1
+
+
+def test_contamination_hot_shingle_cap_and_audit(spark):
+    """max_shingle_hits: a benchmark shingle that is corpus-common
+    (boilerplate quoted by an eval item) is EXCLUDED from the join and
+    audited; genuine contamination is still found via its other
+    shingles."""
+    from json_schema_py_spark.operators.contamination import (
+        contamination_hits,
+        contamination_hot_shingles,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # one 8-gram, planted corpus-wide
+    uniq = " ".join(f"u{j}" for j in range(8))  # benchmark-item-only 8-gram
+    docs = [(i, f"{boiler} d{i}a d{i}b d{i}c") for i in range(40)]
+    docs.append((500, f"{boiler} {uniq} tail1 tail2"))  # genuinely contaminated
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900000, f"{boiler} {uniq}")], "bench_id long, text string"
+    )
+
+    uncapped = contamination_hits(d, bench, min_shared=1)
+    # boilerplate shingle matches all 41 docs uncapped
+    assert uncapped.count() == 41
+    capped = contamination_hits(d, bench, min_shared=1, max_shingle_hits=10)
+    got = {(r["doc_id"], r["bench_id"]) for r in capped.collect()}
+    # only the genuinely contaminated doc survives (its unique shingles
+    # are under the cap); the boilerplate-only matches are gone
+    assert got == {(500, 900000)}
+    audited = contamination_hot_shingles(d, bench, max_shingle_hits=10).collect()
+    assert [(r["sh"], r["hits"]) for r in audited] == [(boiler, 41)]
