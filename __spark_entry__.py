@@ -226,6 +226,18 @@ def q_token_packing_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_token_spans(d, max_tokens=512)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3: quality-first selection to a global token budget (the
+    data-mixing primitive) via the two-pass distributed prefix sum ordered
+    by (quality DESC, id); n_chars stands in as the quality score. Oracle
+    is the naive global window."""
+    from json_schema_py_spark.operators.packing import select_to_token_budget
+
+    return select_to_token_budget(
+        _docs(spark, sf_dir), budget_tokens=10000, quality_col="n_chars"
+    )
+
+
 def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-writer manifest over the packed token stream: per-window doc
     and landing-token counts (exact tiling of the global concatenation)."""
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation": q_curation,
         "q_token_packing": q_token_packing,
         "q_token_packing_str": q_token_packing_str,
+        "q_token_budget": q_token_budget,
         "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -997,6 +1010,18 @@ WITH base AS (
 SELECT sid AS doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
   ((cum - n) // 512)::BIGINT AS first_pack,
   ((cum - 1) // 512)::BIGINT AS last_pack
+FROM c
+""",
+        "q_token_budget": f"""
+WITH base AS (
+  SELECT doc_id, n_chars::DOUBLE AS q, len({_TOKS}) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, n::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens,
+  (cum <= 10000) AS keep
 FROM c
 """,
         "q_pack_summary": f"""

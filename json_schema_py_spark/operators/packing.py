@@ -180,3 +180,76 @@ def pack_summary(spans: DataFrame, max_tokens: int) -> DataFrame:
             F.sum(in_window).alias("n_tokens"),
         )
     )
+
+
+def select_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, cum_tokens, keep) — greedy best-quality-first
+    selection up to a GLOBAL token budget: the data-mixing primitive
+    ("fill the training run with the best N tokens"). keep = the doc's
+    running total (quality DESC, id ASC — fully deterministic) fits within
+    ``budget_tokens``; the result is a strict prefix of the quality
+    ordering, not a knapsack fit.
+
+    Scale shape: the same two-pass distributed prefix sum as
+    assign_token_spans, range-bucketed on the NEGATED quality score
+    (width_bucket needs ascending ranges) with per-bucket totals →
+    driver-side exclusive offsets → bucket-local window ordered by
+    (-quality, id). Never a single-partition global sort; numeric quality
+    scores only."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("_q"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).persist()
+    n_buckets = num_buckets or max(
+        base.sparkSession.sparkContext.defaultParallelism, 2
+    )
+    mm = base.agg(F.min("_q").alias("lo"), F.max("_q").alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        base.unpersist(blocking=False)
+        return base.select(
+            "doc_id", "n_tokens",
+            F.lit(None).cast("long").alias("cum_tokens"),
+            F.lit(False).alias("keep"),
+        )
+    lo, hi = -float(mm["hi"]), -float(mm["lo"])  # negated: best quality first
+    # the max value itself lands in the overflow bucket n+1 (width_bucket's
+    # upper bound is exclusive); clamping is robust where an epsilon-padded
+    # bound is not (hi + 1e-9 rounds away at |hi| >= ~1e10 in doubles)
+    bucketed = base.withColumn(
+        "_b",
+        F.least(
+            F.width_bucket(-F.col("_q"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_buckets)),
+            F.lit(n_buckets),
+        ),
+    )
+    totals = {
+        r["_b"]: r["_sum"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_sum")).collect()
+    }
+    base.unpersist(blocking=False)
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        acc += totals[b]
+    off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy(F.desc("_q"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn("_cum", F.sum("n_tokens").over(w) + F.col("_off"))
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_cum").alias("cum_tokens"),
+        (F.col("_cum") <= budget_tokens).alias("keep"),
+    )

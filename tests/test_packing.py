@@ -81,3 +81,41 @@ def test_token_spans_unsupported_id_type_rejected(spark):
     df = spark.createDataFrame([([1], "x y z")], "doc_id array<int>, text string")
     with pytest.raises(ValueError, match="numeric or string"):
         assign_token_spans(df, max_tokens=10)
+
+
+def test_select_to_token_budget_matches_naive_and_is_prefix(spark):
+    """Greedy quality-first token-budget selection equals the naive global
+    window ordered by (quality DESC, id), and the kept set is a strict
+    PREFIX of that ordering (no gaps)."""
+    from json_schema_py_spark.operators.packing import select_to_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = select_to_token_budget(
+        docs, budget_tokens=5000, quality_col="n_chars", num_buckets=7
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    from json_schema_py_spark.functions.text import token_count
+
+    naive = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("q"),
+            token_count(F.col("text")).alias("n"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .collect()
+    )
+    expect = {r["doc_id"]: (r["n"], r["cum"], r["cum"] <= 5000) for r in naive}
+    for r in rows:
+        assert (r["n_tokens"], r["cum_tokens"], r["keep"]) == expect[r["doc_id"]], r
+    # prefix property: every kept doc outranks every dropped doc
+    kept_max = max(r["cum_tokens"] for r in rows if r["keep"])
+    assert all(r["cum_tokens"] > kept_max for r in rows if not r["keep"])
