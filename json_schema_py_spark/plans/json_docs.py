@@ -208,4 +208,11 @@ def validate_json_exact(
                     rows.append((key, code, path, obs))
             yield pd.DataFrame(rows, columns=["doc_id", "rule_id", "path", "observed"])
 
-    return df.select(key_col, json_col).mapInPandas(batches, out_schema)
+    from json_schema_py_spark.util import ensure_parallelism
+
+    # small/compacted parquet = 1-2 splits → 1-2 PYTHON WORKERS; the
+    # round-robin repartition is a no-op at production partition counts
+    # (round-3; streaming frames pass through untouched)
+    return ensure_parallelism(df.select(key_col, json_col)).mapInPandas(
+        batches, out_schema
+    )

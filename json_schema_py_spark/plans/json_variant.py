@@ -806,6 +806,10 @@ def validate_json_variant(
         ),
         0,
     )
+    # no ensure_parallelism here: AQE re-coalesces the repartition exchange
+    # for this small-data JVM path (measured round 3 — the expression still
+    # ran on 2 post-coalesce partitions), so the extra shuffle buys nothing;
+    # the pandas EXACT path keeps it because mapInPandas runs pre-coalesce
     return (
         df.select(F.col(key_col).alias("doc_id"), violations.alias("violations"))
         .select("doc_id", F.explode("violations").alias("x"))
