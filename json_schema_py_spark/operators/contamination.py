@@ -40,6 +40,19 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, shingle_k: int) -
     )
 
 
+def _shingle_hit_counts(doc_sh: DataFrame, bench_sh: DataFrame) -> DataFrame:
+    """(sh, hits): corpus hit count per distinct benchmark shingle — ONE
+    counting pipeline shared by the cap filter and the audit so the two
+    can never count differently (review r03). Pass the SAME
+    max_shingle_hits to contamination_hits and contamination_hot_shingles
+    or the audit reports the wrong exclusion set."""
+    return (
+        doc_sh.join(F.broadcast(bench_sh.select("sh").distinct()), "sh")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -73,10 +86,8 @@ def contamination_hits(
     doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
     if max_shingle_hits is not None:
         ok = (
-            doc_sh.join(F.broadcast(bench_sh.select("sh").distinct()), "sh")
-            .groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_hits"))
-            .where(F.col("_hits") <= max_shingle_hits)
+            _shingle_hit_counts(doc_sh, bench_sh)
+            .where(F.col("hits") <= max_shingle_hits)
             .select("sh")
         )
         bench_sh = bench_sh.join(F.broadcast(ok), "sh")
@@ -104,11 +115,8 @@ def contamination_hot_shingles(
     trusting the capped hit list)."""
     bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k)
     doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
-    return (
-        doc_sh.join(F.broadcast(bench_sh.select("sh").distinct()), "sh")
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .where(F.col("hits") > max_shingle_hits)
+    return _shingle_hit_counts(doc_sh, bench_sh).where(
+        F.col("hits") > max_shingle_hits
     )
 
 

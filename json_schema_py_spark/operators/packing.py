@@ -136,7 +136,9 @@ def assign_token_spans(
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((int(b), acc))
-        acc += totals[b]
+        # a bucket of all-NULL token counts (null-text docs) sums to NULL —
+        # treat as 0, don't TypeError on the driver (review r03)
+        acc += totals[b] or 0
     off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
     # pass 2: bucket-local running sum (ONE shuffle by bucket)
     w = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
@@ -238,7 +240,7 @@ def select_to_token_budget(
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((int(b), acc))
-        acc += totals[b]
+        acc += totals[b] or 0  # all-NULL bucket sums to NULL (review r03)
     off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
     w = Window.partitionBy("_b").orderBy(F.desc("_q"), F.asc("doc_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -60,6 +60,14 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return _rank_topk(c, q, k, round_to)
+
+
+def _rank_topk(c: DataFrame, q: DataFrame, k: int, round_to: int) -> DataFrame:
+    """Shared cosine-rank tail for the exact and quantized top-k paths
+    (one definition so tie-break/rounding/k semantics can never diverge —
+    review r03): ``c`` is (neighbor_id, cv), ``q`` is (query_id, qv); the
+    query side broadcasts."""
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -311,25 +319,54 @@ def embedding_near_dup_pairs(
 # --- int8 scalar quantization (round 3) -----------------------------------
 
 
+def _quantized_cols(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, scale, qvec) without any repartition — shared by
+    quantize_embeddings (which parallelizes the corpus) and
+    quantized_topk's QUERY side (about to be broadcast; a repartition
+    there is a wasted shuffle, review r03)."""
+    v = F.col(vec_col)
+    scale_expr = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    # bind scale as a lambda VARIABLE: referenced inside the per-element
+    # transform it would otherwise re-run the O(dim) array_max PER ELEMENT
+    # (the no-CSE-in-HOF-lambdas pitfall, review r03 — same trap that made
+    # minhash 40x slower before round 1's fix)
+    sq = F.get(
+        F.transform(
+            F.array(scale_expr),
+            lambda s: F.struct(
+                s.alias("scale"),
+                F.when(
+                    s > 0,
+                    F.transform(
+                        v, lambda x: F.floor(x / s * 127.0 + 0.5).cast("byte")
+                    ),
+                )
+                .otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+                .alias("qvec"),
+            ),
+        ),
+        0,
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        sq["scale"].alias("scale"),
+        sq["qvec"].alias("qvec"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(vec_id, scale, qvec: array<int>) — per-vector symmetric int8
+    """(vec_id, scale, qvec: array<tinyint>) — per-vector symmetric int8
     quantization: scale = max(|v|), q_i = floor(v_i/scale*127 + 0.5)
     (explicit half-up — F.round's HALF_UP and DuckDB's round() disagree on
-    negative halves, floor(+0.5) is identical everywhere). 4x smaller than
-    float32 on the lake; at 100 TB the quantized table is what you scan
-    for candidate generation, refining survivors against the full-precision
-    column. Zero vectors quantize to all-zero with scale 0."""
-    v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
-    q = F.when(
-        scale > 0,
-        F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("qvec")
-    )
+    negative halves, floor(+0.5) is identical everywhere). qvec is BYTE
+    elements (review r03: an int cast would store 4-byte INT32 on the lake
+    and void the 4x-smaller-than-float32 claim). At 100 TB the quantized
+    table is what you scan for candidate generation, refining survivors
+    against the full-precision column. Zero vectors quantize to all-zero
+    with scale 0."""
+    return _quantized_cols(ensure_parallelism(df), id_col, vec_col)
 
 
 def quantized_topk(
@@ -342,37 +379,19 @@ def quantized_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, score, rank) — cosine top-k over DEQUANTIZED
     int8 vectors (both sides quantized: the storage-honest comparison).
-    Same shape/determinism contract as brute_force_topk; scores differ from
-    exact by the quantization error (|Δcos| ≲ 1e-2 at dim 64, measured) —
-    recall@k stays high because errors are unbiased across candidates."""
-    cq = quantize_embeddings(corpus, id_col, vec_col).select(
+    Same shape/determinism contract as brute_force_topk (shared ranking
+    helper); scores differ from exact by the quantization error
+    (|Δcos| ≲ 1e-2 at dim 64, measured) — recall@k stays high because
+    errors are unbiased across candidates."""
+    cq = _quantized_cols(ensure_parallelism(corpus), id_col, vec_col).select(
         F.col("vec_id").alias("neighbor_id"),
         _dequant().alias("cv"),
     )
-    qq = quantize_embeddings(queries, id_col, vec_col).select(
+    qq = _quantized_cols(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         _dequant().alias("qv"),
     )
-    scored = (
-        cq.crossJoin(F.broadcast(qq))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("_score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_score"), round_to).alias("score"),
-            "rank",
-        )
-    )
+    return _rank_topk(cq, qq, k, round_to)
 
 
 def _dequant() -> Column:
