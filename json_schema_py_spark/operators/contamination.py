@@ -129,13 +129,16 @@ def decontaminate(
     bench_id_col: str = "bench_id",
     shingle_k: int = 8,
     min_shared: int = 1,
+    max_shingle_hits: int | None = None,
 ) -> DataFrame:
     """Corpus minus contaminated docs (left-anti on contamination_hits'
     doc ids) — the drop list stays distributed; only the benchmark side
-    broadcasts."""
+    broadcasts. ``max_shingle_hits`` passes through to the hot-shingle cap
+    (review r03: without it the wrapper couldn't apply the scale contract
+    its own module mandates)."""
     hits = contamination_hits(
         docs, benchmark, text_col, id_col, bench_text_col, bench_id_col,
-        shingle_k, min_shared,
+        shingle_k, min_shared, max_shingle_hits,
     ).select("doc_id").distinct()
     return docs.join(
         hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti"

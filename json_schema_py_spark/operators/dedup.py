@@ -286,14 +286,26 @@ def ngram_jaccard_pairs_with_lsh_sweep(
     bands follows the LSH S-curve. Cross-band pairs are out of scope for
     both halves — the length-band blocking contract (similar docs have
     similar lengths) already accepts that."""
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_k, threshold,
-        bucket_by_token_count=True, max_bucket_rows=max_bucket_rows,
+    # ONE bucket-counting aggregation serves BOTH the exact half's ok-list
+    # and the sweep's oversized list (review r03: calling the two public
+    # operators recomputed the identical full-corpus count twice); the
+    # blocked projection itself still re-derives per consumer — persisting
+    # 10^12 rows is not an option, materialize it to the lake instead
+    base = _ngram_blocked(df, text_col, id_col, shingle_k, True)
+    counts = base.groupBy("lb").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = counts.where(F.col("_bc") <= max_bucket_rows).select("lb")
+    over = counts.where(F.col("_bc") > max_bucket_rows).select("lb")
+    kept = base.join(F.broadcast(ok), "lb")
+    a = kept.select(F.col("lb"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = kept.select(F.col("lb"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        a.join(b, "lb")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
     )
-    over = ngram_jaccard_oversized_buckets(
-        df, text_col, id_col, shingle_k,
-        bucket_by_token_count=True, max_bucket_rows=max_bucket_rows,
-    ).select("lb")
     # select capped-band rows by joining on the RECOMPUTED band id against
     # the (tiny) oversized-bucket list — broadcasting bucket IDS is bounded
     # (≤ distinct bands), broadcasting the capped DOCS would not be: one

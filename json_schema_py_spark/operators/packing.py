@@ -39,6 +39,24 @@ from pyspark.sql import types as T
 from json_schema_py_spark.functions.text import token_count
 
 
+def _prefix_offsets(bucketed: DataFrame, value_col: str) -> DataFrame:
+    """Per-bucket totals → driver-side EXCLUSIVE prefix offsets as a tiny
+    (_b, _off) frame — the shared second pass of every distributed prefix
+    sum here (review r03: two hand-maintained copies had already needed
+    the same NULL-sum fix twice). Bounded driver traffic: one row per
+    bucket."""
+    totals = {
+        r["_b"]: r["_sum"]
+        for r in bucketed.groupBy("_b").agg(F.sum(value_col).alias("_sum")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        # an all-NULL bucket (null-text docs) sums to NULL — counts as 0
+        acc += totals[b] or 0
+    return bucketed.sparkSession.createDataFrame(offsets, "_b long, _off long")
+
+
 def assign_token_spans(
     docs: DataFrame,
     max_tokens: int,
@@ -127,19 +145,9 @@ def assign_token_spans(
         bucketed = base.withColumn(
             "_b", F.width_bucket(F.col("doc_id"), F.lit(lo), F.lit(hi) + 1, F.lit(n_buckets))
         )
-    # pass 1: one row per bucket — bounded driver traffic
-    totals = {
-        r["_b"]: r["_sum"]
-        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_sum")).collect()
-    }
+    # pass 1: per-bucket totals → driver offsets (shared helper)
+    off_df = _prefix_offsets(bucketed, "n_tokens")
     base.unpersist(blocking=False)
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((int(b), acc))
-        # a bucket of all-NULL token counts (null-text docs) sums to NULL —
-        # treat as 0, don't TypeError on the driver (review r03)
-        acc += totals[b] or 0
-    off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
     # pass 2: bucket-local running sum (ONE shuffle by bucket)
     w = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -197,51 +205,89 @@ def select_to_token_budget(
     ("fill the training run with the best N tokens"). keep = the doc's
     running total (quality DESC, id ASC — fully deterministic) fits within
     ``budget_tokens``; the result is a strict prefix of the quality
-    ordering, not a knapsack fit.
+    ordering, not a knapsack fit. Docs with a NULL quality score get
+    keep=False and NULL cum_tokens — unknown quality is never silently
+    selected (review r03).
 
-    Scale shape: the same two-pass distributed prefix sum as
-    assign_token_spans, range-bucketed on the NEGATED quality score
-    (width_bucket needs ascending ranges) with per-bucket totals →
-    driver-side exclusive offsets → bucket-local window ordered by
-    (-quality, id). Never a single-partition global sort; numeric quality
-    scores only."""
-    base = docs.select(
+    Scale shape — two-pass distributed prefix sum (never a single-
+    partition global sort), with TWO bucketing regimes because quality
+    scores are usually LOW-CARDINALITY (classifier buckets, {0..5}): a
+    plain range-bucket on quality would put billions of tied rows into one
+    bucket — exactly the degenerate window this operator exists to avoid
+    (review r03).
+
+    * nq ≤ 2048 distinct scores: bucket on the COMPOSITE surrogate
+      qrank + id_fraction — strictly increasing in the (quality DESC, id)
+      order across rank boundaries and monotone within (id_fraction is an
+      order-preserving [0,1) mapping of the id: numeric ids normalize over
+      their span; string ids use the prefix-stripped 7-byte surrogate).
+      Tied rows SPREAD across ~8 buckets per distinct score, so a
+      constant-score corpus parallelizes fully.
+    * nq > 2048 (continuous scores): range-bucket on -quality directly —
+      ties are small by construction in this regime.
+    """
+    has_null_q = F.col(quality_col).isNull()
+    null_rows = docs.where(has_null_q).select(
         F.col(id_col).alias("doc_id"),
-        F.col(quality_col).cast("double").alias("_q"),
         token_count(F.col(text_col)).alias("n_tokens"),
-    ).persist()
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.lit(False).alias("keep"),
+    )
+    base = (
+        docs.where(~has_null_q)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(quality_col).cast("double").alias("_q"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .persist()
+    )
     n_buckets = num_buckets or max(
         base.sparkSession.sparkContext.defaultParallelism, 2
     )
-    mm = base.agg(F.min("_q").alias("lo"), F.max("_q").alias("hi")).collect()[0]
-    if mm["lo"] is None:
+    agg = base.agg(
+        F.min("_q").alias("qlo"),
+        F.max("_q").alias("qhi"),
+        F.approx_count_distinct("_q", 0.01).alias("nq_est"),
+    ).collect()[0]
+    if agg["qlo"] is None:
         base.unpersist(blocking=False)
-        return base.select(
-            "doc_id", "n_tokens",
-            F.lit(None).cast("long").alias("cum_tokens"),
-            F.lit(False).alias("keep"),
+        return null_rows
+    if agg["nq_est"] <= 2048 * 0.9:  # approx estimate: stay clearly in-regime
+        qs = sorted(
+            (r["_q"] for r in base.select("_q").distinct().collect()), reverse=True
         )
-    lo, hi = -float(mm["hi"]), -float(mm["lo"])  # negated: best quality first
-    # the max value itself lands in the overflow bucket n+1 (width_bucket's
-    # upper bound is exclusive); clamping is robust where an epsilon-padded
-    # bound is not (hi + 1e-9 rounds away at |hi| >= ~1e10 in doubles)
-    bucketed = base.withColumn(
-        "_b",
-        F.least(
-            F.width_bucket(-F.col("_q"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_buckets)),
-            F.lit(n_buckets),
-        ),
-    )
-    totals = {
-        r["_b"]: r["_sum"]
-        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_sum")).collect()
-    }
+        rank_df = base.sparkSession.createDataFrame(
+            [(q, i) for i, q in enumerate(qs)], "_q double, _qr long"
+        )
+        idfrac = _id_fraction(base, "doc_id")
+        composite = F.col("_qr").cast("double") + idfrac
+        n_eff = max(n_buckets, min(len(qs), 2048) * 8)
+        bucketed = (
+            base.join(F.broadcast(rank_df), "_q")
+            .withColumn(
+                "_b",
+                F.least(
+                    F.width_bucket(
+                        composite, F.lit(0.0), F.lit(float(len(qs))), F.lit(n_eff)
+                    ),
+                    F.lit(n_eff),
+                ),
+            )
+        )
+    else:
+        lo, hi = -float(agg["qhi"]), -float(agg["qlo"])
+        bucketed = base.withColumn(
+            "_b",
+            F.least(
+                F.width_bucket(
+                    -F.col("_q"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_buckets)
+                ),
+                F.lit(n_buckets),
+            ),
+        )
+    off_df = _prefix_offsets(bucketed, "n_tokens")
     base.unpersist(blocking=False)
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((int(b), acc))
-        acc += totals[b] or 0  # all-NULL bucket sums to NULL (review r03)
-    off_df = base.sparkSession.createDataFrame(offsets, "_b long, _off long")
     w = Window.partitionBy("_b").orderBy(F.desc("_q"), F.asc("doc_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -249,9 +295,48 @@ def select_to_token_budget(
         bucketed.join(F.broadcast(off_df), "_b")
         .withColumn("_cum", F.sum("n_tokens").over(w) + F.col("_off"))
     )
-    return cum.select(
+    scored = cum.select(
         "doc_id",
         "n_tokens",
         F.col("_cum").alias("cum_tokens"),
         (F.col("_cum") <= budget_tokens).alias("keep"),
     )
+    return scored.unionByName(null_rows)
+
+
+def _id_fraction(base: DataFrame, id_col: str) -> Column:
+    """Order-preserving [0,1) mapping of the id column (numeric: normalized
+    over the observed span; string: prefix-stripped 7-byte surrogate /
+    2^56; other types: constant 0 — ties then stay in one bucket, the
+    pre-fix behavior). Used to SPREAD quality-tied rows across buckets
+    while keeping bucket order consistent with (quality, id) order."""
+    dt = base.schema[id_col].dataType
+    if isinstance(dt, T.StringType):
+        mm = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+        lo_b = str(mm["lo"]).encode("utf-8")
+        hi_b = str(mm["hi"]).encode("utf-8")
+        cp = 0
+        while cp < min(len(lo_b), len(hi_b)) and lo_b[cp] == hi_b[cp]:
+            cp += 1
+        sur = F.coalesce(
+            F.conv(
+                F.rpad(
+                    F.hex(F.substring(F.encode(F.col(id_col), "UTF-8"), cp + 1, 7)),
+                    14,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(0),
+        )
+        return sur.cast("double") / float(1 << 56)
+    if isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        mm = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        span = (hi - lo) + 1.0
+        return (F.col(id_col).cast("double") - F.lit(lo)) / F.lit(span)
+    return F.lit(0.0)

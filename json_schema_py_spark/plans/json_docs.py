@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from json_schema_py_spark.errors import ErrorCode
 from json_schema_py_spark.schema.compiler import VIOLATION_TYPE, compile_ruleset
 from json_schema_py_spark.schema.model import Rule, normalize_schema
 
@@ -60,18 +61,45 @@ def rule_to_spark_type(rule: Rule) -> T.DataType:
 def validate_json_typed(
     df: DataFrame, json_col: str, schema: Any, key_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, rule_id, path, observed) via from_json + the Column engine."""
-    from json_schema_py_spark.schema.compiler import RuleBinder, _empty
+    """(doc_id, rule_id, path, observed) via from_json + the Column engine.
+
+    MALFORMED raw text (fails try_parse_json) emits SCHEMA_INVALID at the
+    root, matching validate_json_exact (review r03: it previously nulled
+    out and silently passed — the typed path's documented null==absent
+    caveat is for WELL-FORMED JSON whose type doesn't fit the frozen
+    schema, not for parse failures)."""
+    from json_schema_py_spark.schema.compiler import (
+        VIOLATION_TYPE,
+        RuleBinder,
+        _empty,
+        _viol,
+    )
 
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     spark_t = rule_to_spark_type(rule)
+    malformed = F.col(json_col).isNotNull() & F.try_parse_json(
+        F.col(json_col)
+    ).isNull()
+    bad_viols = F.array(
+        _viol(
+            ErrorCode.SCHEMA_INVALID.value,
+            F.lit(""),
+            F.substring(F.col(json_col), 1, 256),
+        )
+    ).cast(VIOLATION_TYPE)
     if isinstance(spark_t, T.StructType):
         parsed = df.select(
-            F.col(key_col).alias("doc_id"), F.from_json(F.col(json_col), spark_t).alias("d")
+            F.col(key_col).alias("doc_id"),
+            F.from_json(F.col(json_col), spark_t).alias("d"),
+            malformed.alias("__sg_bad"),
+            F.when(malformed, bad_viols).alias("__sg_bad_viols"),
         )
-        flat = parsed.select("doc_id", "d.*")
+        flat = parsed.select("doc_id", "__sg_bad", "__sg_bad_viols", "d.*")
         v = compile_ruleset(rule, T.StructType([f for f in spark_t.fields]))
-        exploded = flat.withColumn("violations", v)
+        exploded = flat.withColumn(
+            "violations",
+            F.when(F.col("__sg_bad"), F.col("__sg_bad_viols")).otherwise(v),
+        )
     else:
         # map/array/scalar-rooted schema: bind the rule to the parsed column
         # directly; root path stays "" so pointers match the exact path.
@@ -94,7 +122,10 @@ def validate_json_typed(
                 F.from_json(wrapped, wrapper)["v"],
             )
         parsed = df.select(
-            F.col(key_col).alias("doc_id"), parsed_col.alias("d")
+            F.col(key_col).alias("doc_id"),
+            parsed_col.alias("d"),
+            malformed.alias("__sg_bad"),
+            F.when(malformed, bad_viols).alias("__sg_bad_viols"),
         )
         doc = F.col("d")
         v = F.get(
@@ -106,7 +137,9 @@ def validate_json_typed(
             ),
             0,
         )
-        exploded = parsed.withColumn("violations", v)
+        exploded = parsed.withColumn(
+            "violations", F.when(F.col("__sg_bad"), F.col("__sg_bad_viols")).otherwise(v)
+        )
     return exploded.select("doc_id", F.explode("violations").alias("v")).select(
         "doc_id",
         F.col("v.rule_id").alias("rule_id"),

@@ -87,16 +87,33 @@ def _null_value_viols(rule: Rule, verbose: bool = False) -> list:
 
 def _java_double_str(v: float) -> str:
     """Render a double the way Java's Double.toString (Jackson) does:
-    plain decimal in [1e-3, 1e7), otherwise mantissa E exponent ('1.0E30')."""
+    plain decimal in [1e-3, 1e7), otherwise shortest-round-trip mantissa E
+    exponent ('1.23456789E7'). The mantissa digits come from Python's repr
+    (also shortest-round-trip) renormalized to scientific form — the old
+    f'{v:E}' path TRUNCATED to 7 significant digits, so any enum/const
+    double with more digits could never match to_json (review r03).
+    Documented corner: Java 17's legacy algorithm is not always shortest
+    at subnormal extremes (probed: 5e-324 → Java '4.9E-324', Python
+    '5E-324'); values beyond ±1e±308 are out of practical schema range."""
     if v != v or v in (float("inf"), float("-inf")):
         return str(v)
     av = abs(v)
     if av != 0.0 and (av < 1e-3 or av >= 1e7):
-        mant, exp = f"{v:E}".split("E")
-        mant = mant.rstrip("0").rstrip(".")
-        if "." not in mant:
-            mant += ".0"
-        return f"{mant}E{int(exp)}"
+        r = repr(av)
+        if "e" in r:
+            mant_s, exp_s = r.split("e")
+            exp = int(exp_s)
+        else:
+            mant_s, exp = r, 0
+        digits = mant_s.replace(".", "")
+        point = mant_s.index(".") if "." in mant_s else len(mant_s)
+        stripped = digits.lstrip("0")
+        lead_zeros = len(digits) - len(stripped)
+        e10 = point - 1 - lead_zeros + exp
+        stripped = stripped.rstrip("0") or "0"
+        mant = stripped[0] + "." + (stripped[1:] or "0")
+        s = f"{mant}E{e10}"
+        return "-" + s if v < 0 else s
     r = repr(v)
     if "." not in r and "e" not in r and "E" not in r:
         r += ".0"

@@ -129,8 +129,9 @@ def test_scalar_rooted_schema_typed(spark):
     assert sout == {(1, "STRING_TOO_SHORT"), (2, "STRING_TOO_LONG")}
 
     # malformed raw text that would become VALID JSON only after wrapping
-    # ('1,"x":2' -> {"v":1,"x":2}) must NOT validate: the guarded parse
-    # requires the raw text to parse standalone (ADVICE r02)
+    # ('1,"x":2' -> {"v":1,"x":2}) must NOT validate (ADVICE r02); round-3
+    # strengthening (review r03): malformed docs emit SCHEMA_INVALID at the
+    # root, matching validate_json_exact, instead of silently nulling out
     mdf = spark.createDataFrame(
         [(1, '1,"x":2'), (2, "5"), (3, "1}")], "doc_id long, payload string"
     )
@@ -140,8 +141,23 @@ def test_scalar_rooted_schema_typed(spark):
             mdf, "payload", {"type": "integer", "maximum": 0}
         ).collect()
     }
-    # only doc 2 parses (and violates maximum); docs 1 and 3 null out
-    assert mout == {(2, "NUMBER_TOO_LARGE")}
+    assert mout == {
+        (1, "SCHEMA_INVALID"),
+        (2, "NUMBER_TOO_LARGE"),
+        (3, "SCHEMA_INVALID"),
+    }
+    # struct root: same malformed contract
+    sdf2 = spark.createDataFrame(
+        [(1, '{"a": 1'), (2, '{"a": 1}')], "doc_id long, payload string"
+    )
+    sout2 = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate_json_typed(
+            sdf2, "payload",
+            {"type": "object", "properties": {"a": {"type": "integer", "minimum": 5}}},
+        ).collect()
+    }
+    assert sout2 == {(1, "SCHEMA_INVALID"), (2, "NUMBER_TOO_SMALL")}
 
 
 def test_auto_router_picks_path_by_regex_dialect(spark):

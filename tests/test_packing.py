@@ -119,3 +119,46 @@ def test_select_to_token_budget_matches_naive_and_is_prefix(spark):
     # prefix property: every kept doc outranks every dropped doc
     kept_max = max(r["cum_tokens"] for r in rows if r["keep"])
     assert all(r["cum_tokens"] > kept_max for r in rows if not r["keep"])
+
+
+def test_select_to_token_budget_low_cardinality_and_nulls(spark):
+    """Review r03: (a) low-cardinality quality scores (the classifier-
+    output case) must SPREAD tied rows across buckets — correctness
+    pinned against the naive window for constant and {0..5} scores;
+    (b) NULL-quality docs come back keep=False with NULL cum, never
+    silently selected; (c) string ids tie-break lexicographically."""
+    from json_schema_py_spark.operators.packing import select_to_token_budget
+
+    rows = [(i, float(i % 6), "w " * (5 + i % 7)) for i in range(300)]
+    rows += [(900 + i, None, "x y z") for i in range(3)]  # null quality
+    df = spark.createDataFrame(rows, "doc_id long, q double, text string")
+    out = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in
+           select_to_token_budget(df, 400, "q", num_buckets=8).collect()}
+    assert len(out) == 303
+    for i in range(3):
+        assert out[900 + i] == (None, False)
+    naive = sorted(
+        ((r[1], r[0], len(r[2].split())) for r in rows if r[1] is not None),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cum = 0
+    for q, did, n in naive:
+        cum += n
+        assert out[did] == (cum, cum <= 400), (did, out[did], cum)
+
+    # constant quality: everything ties — still exact
+    cdf = spark.createDataFrame(
+        [(i, 1.0, "a b c d") for i in range(50)], "doc_id long, q double, text string"
+    )
+    cout = {r["doc_id"]: r["cum_tokens"] for r in
+            select_to_token_budget(cdf, 100, "q", num_buckets=8).collect()}
+    assert cout == {i: (i + 1) * 4 for i in range(50)}
+
+    # string ids: ties order lexicographically (d1 < d10 < d2)
+    sdf = spark.createDataFrame(
+        [(f"d{i}", 1.0, "a b") for i in range(12)], "doc_id string, q double, text string"
+    )
+    sout = {r["doc_id"]: r["cum_tokens"] for r in
+            select_to_token_budget(sdf, 100, "q", num_buckets=4).collect()}
+    order = sorted((f"d{i}" for i in range(12)))
+    assert sout == {d: (k + 1) * 2 for k, d in enumerate(order)}

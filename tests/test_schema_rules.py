@@ -196,6 +196,19 @@ def test_composite_enum_double_scientific_rendering(spark):
     assert [(r["doc_id"], r["rule_id"]) for r in aout.collect()] == [
         (2, "CONST_MISMATCH")
     ]
+    # HIGH-PRECISION mantissas (review r03: the old renderer truncated to 7
+    # significant digits, so these could never match to_json's rendering)
+    hp = spark.createDataFrame(
+        [(1, (12345678.9,)), (2, (1.23456789e30,)), (3, (123456789.123456,)),
+         (4, (3.141592653589793e20,)), (5, (0.5,))],
+        "doc_id long, o struct<rate:double>",
+    )
+    hschema = {"properties": {"o": {"enum": [
+        {"rate": 12345678.9}, {"rate": 1.23456789e30},
+        {"rate": 123456789.123456}, {"rate": 3.141592653589793e20},
+    ]}}}
+    got2 = {(r["doc_id"], r["rule_id"]) for r in validate(hp, hschema).collect()}
+    assert got2 == {(5, "ENUM_MISMATCH")}
 
 
 # ----------------------------------------------------------- arrays
