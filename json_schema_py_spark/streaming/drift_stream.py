@@ -1,0 +1,89 @@
+"""Streaming distribution drift: per-event-time-window PSI against a
+static baseline histogram (the live-ingest arm of the run-over-run drift
+loop in plans/stats_history.py).
+
+Shape: ONE streaming aggregation — groupBy(window) with nbins CONDITIONAL
+count columns (bucket membership is a pure projection, nbins is a static
+schema parameter), then PSI folds those columns as stateless expressions.
+A chained (window,bucket)→window two-agg design was tried first and
+rejected: multi-stateful append-mode pipelines need an extra
+watermark-advancing micro-batch per stage to flush, which finite
+AvailableNow replays don't reliably get. The baseline side is STATIC and
+tiny (nbins rows) — its proportions fold into literals driver-side, so
+the stream never joins anything: state is one row per open window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_psi(
+    stream: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    baseline: DataFrame,
+    window_duration: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """(window_start, window_end, n_rows, psi) per event-time window.
+
+    ``baseline`` is a STATIC (bucket, cnt) histogram (operators/drift
+    .histogram output) — collected driver-side (nbins rows) and folded
+    into literal proportions, identical to operators/drift.psi's math
+    (same eps clamp, same rounding) so batch and stream agree bucket for
+    bucket. Late rows beyond ``watermark`` are dropped by the engine;
+    windows emit once finalized (append mode).
+
+    Pushdown caveat (probed): the NULL filter on ``col`` is pushed past
+    the watermark node into the file scan, so rows with a NULL value
+    never advance the watermark — watermark-driving heartbeat/sentinel
+    rows must carry a NON-NULL value (they land in their own later
+    window, which emits separately)."""
+    qrows = {r["bucket"]: r["cnt"] for r in baseline.collect()}
+    qtot = sum(qrows.values()) or 1
+
+    width = (hi - lo) / nbins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(nbins - 1),
+        )
+    ).cast("int")
+    per_w = (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col(col).isNotNull())
+        .withColumn("_bkt", b)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            *[
+                F.sum((F.col("_bkt") == bi).cast("long")).alias(f"_c{bi}")
+                for bi in range(nbins)
+            ],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    tot = F.col("n_rows").cast("double")
+    terms: list[Column] = []
+    for bi in range(nbins):
+        q = max(qrows.get(bi, 0) / qtot, eps)
+        p = F.greatest(F.col(f"_c{bi}").cast("double") / tot, F.lit(eps))
+        terms.append((p - F.lit(q)) * F.log(p / F.lit(q)))
+    psi_col = terms[0]
+    for t in terms[1:]:
+        psi_col = psi_col + t
+    return per_w.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n_rows"),
+        F.round(psi_col, round_to).alias("psi"),
+    )

@@ -144,3 +144,72 @@ def test_pii_scan_binds_to_streams(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {tuple(r) for r in spark.sql("select * from pii_stream").collect()}
     assert streamed == batch and any(r[1] > 0 for r in batch)
+
+
+def test_streaming_psi_matches_batch_math(spark, tmp_path):
+    """Per-window streaming PSI vs a static baseline equals the batch psi()
+    math recomputed per window in Python (same eps clamp/rounding);
+    chained windowed aggregations run in append mode with AvailableNow."""
+    import math
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.drift import histogram
+    from json_schema_py_spark.streaming.drift_stream import streaming_psi
+
+    # two 10-minute windows: the first mirrors the baseline distribution,
+    # the second is shifted hard to the top bucket (drift)
+    rows = []
+    for i in range(200):
+        rows.append((datetime(2026, 1, 1, 10, 1), float(i % 10)))
+    for i in range(200):
+        rows.append((datetime(2026, 1, 1, 10, 11), 9.0))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    src = str(tmp_path / "dsrc")
+    # watermark-driving sentinels must carry NON-NULL values: the null
+    # filter is pushed below the watermark node into the scan (probed —
+    # an all-null file never advances the watermark). They land in their
+    # own [10:30,10:40) window, asserted separately below.
+    df.coalesce(1).write.parquet(src)
+    for m in (31, 41):
+        spark.createDataFrame(
+            [(datetime(2026, 1, 1, 10, m), 0.0)], "ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    baseline = histogram(df.where(F.minute("ts") == 1), "v", 0.0, 10.0, 5)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_psi(stream, "v", 0.0, 10.0, 5, baseline, "10 minutes", watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"].minute: (r["n_rows"], r["psi"])
+        for r in spark.sql("select * from psi_stream").collect()
+    }
+    # the two data windows plus the first sentinel's own window (the last
+    # sentinel's window stays open — nothing advances the watermark past it)
+    assert {0, 10} <= set(got) <= {0, 10, 30}
+
+    # python recomputation with the identical math
+    def psi_py(cur_counts, base_counts, nbins=5, eps=1e-6):
+        tc, tb = sum(cur_counts.values()), sum(base_counts.values())
+        s = 0.0
+        for b in range(nbins):
+            p = max(cur_counts.get(b, 0) / tc, eps)
+            qq = max(base_counts.get(b, 0) / tb, eps)
+            s += (p - qq) * math.log(p / qq)
+        return round(s, 6)
+
+    base_counts = {r["bucket"]: r["cnt"] for r in baseline.collect()}
+    w1 = {b: 40 for b in range(5)}          # 200 rows uniform over 10 values
+    w2 = {4: 200}                            # all in the top bucket
+    assert got[0] == (200, psi_py(w1, base_counts))
+    assert got[10] == (200, psi_py(w2, base_counts))
+    assert got[0][1] < 0.01 < got[10][1]     # stable vs drifted
