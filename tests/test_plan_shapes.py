@@ -230,3 +230,34 @@ def test_compile_cache_preserves_property_order(spark):
     ra = df.select(F.transform(ca, lambda v: v["path"]).alias("p")).collect()[0]["p"]
     rb = df.select(F.transform(cb, lambda v: v["path"]).alias("p")).collect()[0]["p"]
     assert ra == ["/a", "/b"] and rb == ["/b", "/a"]
+
+
+def test_compile_cache_survives_session_restart():
+    """The cache docstring claims a compiled Column outlives the
+    SparkSession that built it (the py4j gateway/JVM is per-process, and a
+    Column is an unresolved name-bound tree) — pinned in a subprocess so
+    the fixture session is untouched."""
+    import subprocess
+    import sys
+
+    code = """
+from json_schema_py_spark.session import get_spark
+from pyspark.sql import types as T
+from json_schema_py_spark.schema.compiler import compile_ruleset
+st = T.StructType([T.StructField("a", T.LongType())])
+schema = {"properties": {"a": {"minimum": 5}}}
+s1 = get_spark(cpus=2, app_name="cache-a")
+c = compile_ruleset(schema, st)
+s1.stop()
+s2 = get_spark(cpus=2, app_name="cache-b")
+assert compile_ruleset(schema, st) is c  # cache hit across sessions
+df = s2.createDataFrame([(1,), (9,)], "a long")
+import pyspark.sql.functions as F
+n = df.select(F.size(c).alias("n")).collect()
+assert [r["n"] for r in n] == [1, 0], n
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
