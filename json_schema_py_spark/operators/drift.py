@@ -13,12 +13,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bucket_expr(col: str, lo: float, hi: float, nbins: int):
+    """The clamped fixed-width bucket id as a Column — ONE definition shared
+    by the batch histogram and streaming_psi so batch/stream parity is
+    structural (review r03). Validates the binning up front: a width-0 or
+    zero-bin histogram would otherwise only surface as an ANSI
+    divide-by-zero mid-stream."""
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi})")
+    w = (hi - lo) / nbins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+
+
 def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int) -> DataFrame:
     """(bucket, cnt) with fixed-width buckets over [lo, hi); values outside
     clamp into the first/last bucket (so counts always sum to n_rows)."""
-    w = (hi - lo) / nbins
-    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    b = bucket_expr(col, lo, hi, nbins)
     return (
         df.where(F.col(col).isNotNull())
         .groupBy(b.alias("bucket"))

@@ -46,19 +46,20 @@ def streaming_psi(
     never advance the watermark — watermark-driving heartbeat/sentinel
     rows must carry a NON-NULL value (they land in their own later
     window, which emits separately)."""
+    from json_schema_py_spark.operators.drift import bucket_expr
+
     qrows = {r["bucket"]: r["cnt"] for r in baseline.collect()}
+    if not set(qrows) <= set(range(nbins)):
+        # a baseline built with DIFFERENT binning would silently deflate
+        # every q (its extra buckets inflate qtot but never enter a term),
+        # diverging from batch psi() with no signal (review r03)
+        raise ValueError(
+            f"baseline has buckets {sorted(set(qrows) - set(range(nbins)))} "
+            f"outside range({nbins}) — rebuild it with the same lo/hi/nbins"
+        )
     qtot = sum(qrows.values()) or 1
 
-    width = (hi - lo) / nbins
-    b = (
-        F.least(
-            F.greatest(
-                F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(nbins - 1),
-        )
-    ).cast("int")
+    b = bucket_expr(col, lo, hi, nbins)
     per_w = (
         stream.withWatermark(ts_col, watermark)
         .where(F.col(col).isNotNull())

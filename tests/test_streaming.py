@@ -148,8 +148,11 @@ def test_pii_scan_binds_to_streams(spark, tmp_path):
 
 def test_streaming_psi_matches_batch_math(spark, tmp_path):
     """Per-window streaming PSI vs a static baseline equals the batch psi()
-    math recomputed per window in Python (same eps clamp/rounding);
-    chained windowed aggregations run in append mode with AvailableNow."""
+    math recomputed per window in Python (same eps clamp/rounding). The
+    operator is deliberately ONE windowed aggregation — chained stateful
+    aggs were probed and rejected: finite AvailableNow replays never get
+    the extra flush batch each chained stage needs (see drift_stream
+    module doc)."""
     import math
     from datetime import datetime
 
