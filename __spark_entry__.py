@@ -1203,8 +1203,8 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
         "q_partition_verdicts": _IDS_CTE + """
 SELECT 'run-0' AS run_id, CAST(i % 16 AS VARCHAR) AS partition_key,
   (SUM(CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) = 0) AS pass,
-  COUNT(*) AS docs,
-  SUM(CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) AS violations
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN p IN (1,2,3,4,5,7,8) THEN 1 ELSE 0 END) AS BIGINT) AS violations
 FROM ids GROUP BY i % 16
 """,
         "q_validate_lineitem": """

@@ -71,8 +71,12 @@ def partition_verdicts(
     return (
         df_with_valid.groupBy(_partition_key_col(partition_key).alias("partition_key"))
         .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(F.size("violations")).alias("violations"),
+            # explicit int64 on both counters: the DuckDB oracle SUM() would
+            # otherwise return HUGEINT (int128) where Spark emits BIGINT, and
+            # the driver's value-hash canonicalization distinguishes the
+            # physical types even when values agree (round-3 hash flag)
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.size("violations")).cast("long").alias("violations"),
             (F.sum(F.size("violations")) == 0).alias("pass"),
         )
         .select(
