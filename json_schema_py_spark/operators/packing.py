@@ -205,9 +205,9 @@ def select_to_token_budget(
     ("fill the training run with the best N tokens"). keep = the doc's
     running total (quality DESC, id ASC — fully deterministic) fits within
     ``budget_tokens``; the result is a strict prefix of the quality
-    ordering, not a knapsack fit. Docs with a NULL quality score get
-    keep=False and NULL cum_tokens — unknown quality is never silently
-    selected (review r03).
+    ordering, not a knapsack fit. Docs with a NULL, NaN, or
+    non-double-castable quality score get keep=False and NULL cum_tokens —
+    unknown quality is never silently selected (review r03, ADVICE r03).
 
     Scale shape — two-pass distributed prefix sum (never a single-
     partition global sort), with TWO bucketing regimes because quality
@@ -226,18 +226,24 @@ def select_to_token_budget(
     * nq > 2048 (continuous scores): range-bucket on -quality directly —
       ties are small by construction in this regime.
     """
-    has_null_q = F.col(quality_col).isNull()
-    null_rows = docs.where(has_null_q).select(
+    # NULL, NaN, and non-castable quality are all "unknown quality": NaN
+    # would break the prefix sum (Python sorted() and F.desc disagree on NaN
+    # placement, so bucket offsets and window order diverge) and a value that
+    # try_casts to NULL would be dropped by the rank join, losing the
+    # one-row-per-input-doc shape (ADVICE r03)
+    qcast = F.col(quality_col).try_cast("double")
+    bad_q = qcast.isNull() | F.isnan(qcast)
+    null_rows = docs.where(bad_q).select(
         F.col(id_col).alias("doc_id"),
         token_count(F.col(text_col)).alias("n_tokens"),
         F.lit(None).cast("long").alias("cum_tokens"),
         F.lit(False).alias("keep"),
     )
     base = (
-        docs.where(~has_null_q)
+        docs.where(~bad_q)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.col(quality_col).cast("double").alias("_q"),
+            qcast.alias("_q"),
             token_count(F.col(text_col)).alias("n_tokens"),
         )
         .persist()

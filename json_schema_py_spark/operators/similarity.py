@@ -41,7 +41,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector makes the denominator 0, which under
+    # ANSI mode (Spark 4 default) is a DIVIDE_BY_ZERO task failure, not a
+    # NaN — undefined cosine surfaces as NULL instead (ADVICE r03)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -77,6 +80,17 @@ def _rank_topk(c: DataFrame, q: DataFrame, k: int, round_to: int) -> DataFrame:
             cosine(F.col("qv"), F.col("cv")).alias("_score"),
         )
     )
+    return _rank_scored(scored, k, round_to)
+
+
+def _rank_scored(scored: DataFrame, k: int, round_to: int) -> DataFrame:
+    """Shared rank tail over (query_id, neighbor_id, _score) for ALL top-k
+    paths (exact, quantized, LSH, IVF). Zero-norm vectors (admitted by
+    quantize_embeddings as scale=0 → all-zero qvec) have undefined cosine:
+    NULL via try_divide, or NaN if a caller feeds pre-divided scores. NaN
+    sorts ABOVE every real double descending (rank 1 for every query),
+    NULL would still occupy tail ranks — drop both (ADVICE r03)."""
+    scored = scored.where(F.col("_score").isNotNull() & ~F.isnan(F.col("_score")))
     w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -154,17 +168,7 @@ def ann_lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("_score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_score"), round_to).alias("score"),
-            "rank",
-        )
-    )
+    return _rank_scored(scored, k, round_to)
 
 
 def _centroids(
@@ -271,17 +275,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("_score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_score"), round_to).alias("score"),
-            "rank",
-        )
-    )
+    return _rank_scored(scored, k, round_to)
 
 
 def embedding_near_dup_pairs(

@@ -48,7 +48,14 @@ def streaming_psi(
     window, which emits separately)."""
     from json_schema_py_spark.operators.drift import bucket_expr
 
-    qrows = {r["bucket"]: r["cnt"] for r in baseline.collect()}
+    # aggregate before folding: a baseline accidentally built as a UNION of
+    # histograms carries duplicate bucket rows, and a dict comprehension
+    # would keep only the last row's count, silently deflating that
+    # bucket's q (ADVICE r03)
+    qrows = {
+        r["bucket"]: r["cnt"]
+        for r in baseline.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
     if not set(qrows) <= set(range(nbins)):
         # a baseline built with DIFFERENT binning would silently deflate
         # every q (its extra buckets inflate qtot but never enter a term),

@@ -465,3 +465,29 @@ def test_quantized_topk_recall_and_properties(spark):
     a = quantize_embeddings(e).orderBy("vec_id").collect()
     b = quantize_embeddings(e).orderBy("vec_id").collect()
     assert a == b
+
+
+def test_topk_zero_norm_vectors_never_rank(spark):
+    """ADVICE r03: a zero-norm corpus vector scores cosine 0/0 = NaN, and
+    Spark's descending sort orders NaN above every real double — without
+    the NaN filter one zero vector takes rank 1 for EVERY query, in both
+    the exact and quantized paths."""
+    from json_schema_py_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(4)]) for i in range(1, 9)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # the poison vector
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.where(F.col("vec_id") <= 2)
+    for fn in (brute_force_topk, quantized_topk):
+        out = fn(e, q, k=3).collect()
+        assert out, fn.__name__
+        assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
+        assert all(r["score"] == r["score"] for r in out), fn.__name__  # no NaN
+        # ranks are still dense 1..3 per query
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3] for v in by_q.values()), fn.__name__

@@ -162,3 +162,39 @@ def test_select_to_token_budget_low_cardinality_and_nulls(spark):
             select_to_token_budget(sdf, 100, "q", num_buckets=4).collect()}
     order = sorted((f"d{i}" for i in range(12)))
     assert sout == {d: (k + 1) * 2 for k, d in enumerate(order)}
+
+
+def test_select_to_token_budget_nan_and_noncastable_quality(spark):
+    """ADVICE r03: NaN quality (driver sorted() and F.desc disagree on NaN
+    placement → wrong offsets for every later row) and non-double-castable
+    quality (post-cast NULL silently dropped by the rank join) must both be
+    routed to keep=False/NULL-cum like NULL quality, preserving the
+    one-row-per-input-doc shape and exact cums for the good rows."""
+    from json_schema_py_spark.operators.packing import select_to_token_budget
+
+    rows = [(i, float(i % 3), "w " * (3 + i % 4)) for i in range(60)]
+    rows.append((900, float("nan"), "x y z"))
+    rows.append((901, None, "x y"))
+    df = spark.createDataFrame(rows, "doc_id long, q double, text string")
+    out = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in
+           select_to_token_budget(df, 120, "q", num_buckets=8).collect()}
+    assert len(out) == 62
+    assert out[900] == (None, False)
+    assert out[901] == (None, False)
+    naive = sorted(
+        ((r[1], r[0], len(r[2].split())) for r in rows[:60]),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cum = 0
+    for q, did, n in naive:
+        cum += n
+        assert out[did] == (cum, cum <= 120), (did, out[did], cum)
+
+    # string-typed quality column: castable values rank, junk gets keep=False
+    sdf = spark.createDataFrame(
+        [(1, "2.0", "a b c"), (2, "1.0", "a b"), (3, "not-a-number", "a")],
+        "doc_id long, q string, text string",
+    )
+    sout = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in
+            select_to_token_budget(sdf, 4, "q", num_buckets=4).collect()}
+    assert sout == {1: (3, True), 2: (5, False), 3: (None, False)}

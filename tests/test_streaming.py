@@ -216,3 +216,29 @@ def test_streaming_psi_matches_batch_math(spark, tmp_path):
     assert got[0] == (200, psi_py(w1, base_counts))
     assert got[10] == (200, psi_py(w2, base_counts))
     assert got[0][1] < 0.01 < got[10][1]     # stable vs drifted
+
+
+def test_streaming_psi_baseline_with_duplicate_buckets(spark):
+    """ADVICE r03: a baseline accidentally built as a UNION of two
+    histograms carries duplicate bucket rows; the dict fold must aggregate
+    them, not keep only the last row's count. A baseline unioned with
+    itself has the identical distribution, so psi must be unchanged.
+    (streaming_psi's plan is batch-executable — withWatermark and
+    F.window are no-ops / plain exprs on a batch frame — which lets this
+    pin the folding math without a stream.)"""
+    from datetime import datetime
+
+    from json_schema_py_spark.operators.drift import histogram
+    from json_schema_py_spark.streaming.drift_stream import streaming_psi
+
+    rows = [(datetime(2026, 1, 1, 10, 1), float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    base = histogram(df, "v", 0.0, 10.0, 5)
+    doubled = base.unionByName(base)  # same distribution, duplicate rows
+
+    def run(b):
+        out = streaming_psi(df, "v", 0.0, 10.0, 5, b, "10 minutes").collect()
+        assert len(out) == 1
+        return out[0]["psi"]
+
+    assert run(base) == run(doubled)
