@@ -305,6 +305,23 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(d, bench, shingle_k=8, min_shared=3)
 
 
+def q_contamination_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 (VERDICT r03 item 2): NORMALIZED decontamination at the
+    13-gram convention — the benchmark quotes docs 0-9 with hostile
+    casing/punctuation (uppercased, comma after every word), which raw
+    shingling cannot match (pinned in tests/test_contamination.py);
+    normalize=True canonicalizes both sides so every plant is caught.
+    Oracle recomputes with the identical normalization in DuckDB."""
+    from json_schema_py_spark.operators.contamination import contamination_hits
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("bench_id"),
+        F.regexp_replace(F.upper(F.col("text")), " ", ", ").alias("text"),
+    )
+    return contamination_hits(d, bench, shingle_k=13, min_shared=1, normalize=True)
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3: PII scanner — per-doc occurrence counts for email / phone /
     SSN-like / IPv4 patterns. The synthetic corpus carries no organic PII,
@@ -706,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_media_ppm": q_media_ppm,
         "q_contamination": q_contamination,
+        "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
         "q_simhash": q_simhash,
         "q_simhash_near_pairs": q_simhash_near_pairs,
@@ -748,6 +766,16 @@ WITH d AS (
 """
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _norm_toks_sql(expr: str = "text") -> str:
+    """DuckDB mirror of functions/text.normalize_text + tokens: lowercase,
+    strip non-[a-z0-9 ], collapse whitespace, split."""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"list_filter(string_split({norm}, ' '), t -> t <> '')"
 _STOPW = "['the','a','an','of','to','and','in','is','it','for']"
 
 
@@ -1125,6 +1153,17 @@ b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
       FROM documents WHERE doc_id < 10)
 SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
 FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 3
+""",
+        # normalized 13-gram decontamination: the bench side is the SAME
+        # docs uppercased with a comma after every word — normalization
+        # must canonicalize both sides back to identical shingles
+        "q_contamination_norm": f"""
+WITH d AS (SELECT doc_id, {_shingles_sql(_norm_toks_sql('text'), 13)} AS sh FROM documents),
+b AS (SELECT doc_id + 900000 AS bench_id,
+      {_shingles_sql(_norm_toks_sql("regexp_replace(upper(text), ' ', ', ', 'g')"), 13)} AS sh
+      FROM documents WHERE doc_id < 10)
+SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
+FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 1
 """,
         "q_pii_scan": """
 WITH d AS (

@@ -86,9 +86,15 @@ def text_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
+def word_shingles(col: Column, k: int = 3, normalize: bool = False) -> Column:
     """Distinct word k-shingles ('a b c' style), the unit of n-gram Jaccard /
     MinHash. Empty array when the doc has fewer than k tokens.
+
+    ``normalize=True`` canonicalizes the text first (normalize_text:
+    lowercase, strip punctuation, collapse whitespace) — the standard
+    decontamination convention, so a benchmark item quoted with different
+    casing/punctuation still matches (round-3 VERDICT item 2). Off by
+    default: dedup tiers that want raw-surface similarity keep it.
 
     PERF: built by zipping k shifted copies of the token array, NOT by
     ``transform(sequence, i -> slice(toks, i, k))`` — an outer expression
@@ -96,6 +102,8 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     ELEMENT (no CSE inside codegen'd lambdas), which made the slice
     formulation re-tokenize the document once per shingle: O(n²) per row,
     ~40x slower end-to-end on the minhash path."""
+    if normalize:
+        col = normalize_text(col)
     toks = tokens(col)
     n = F.size(toks)
     shifted = [toks] + [

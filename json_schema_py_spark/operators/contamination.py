@@ -25,18 +25,32 @@ from json_schema_py_spark.util import ensure_parallelism
 
 
 def _bench_shingles(
-    benchmark: DataFrame, bench_text_col: str, bench_id_col: str, shingle_k: int
+    benchmark: DataFrame,
+    bench_text_col: str,
+    bench_id_col: str,
+    shingle_k: int,
+    normalize: bool = False,
 ) -> DataFrame:
     return benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(bench_text_col), shingle_k)).alias("sh"),
+        F.explode(
+            word_shingles(F.col(bench_text_col), shingle_k, normalize=normalize)
+        ).alias("sh"),
     )
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+def _doc_shingles(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    normalize: bool = False,
+) -> DataFrame:
     return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.explode(
+            word_shingles(F.col(text_col), shingle_k, normalize=normalize)
+        ).alias("sh"),
     )
 
 
@@ -63,6 +77,7 @@ def contamination_hits(
     shingle_k: int = 8,
     min_shared: int = 1,
     max_shingle_hits: int | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
     distinct word ``shingle_k``-grams with a benchmark item.
@@ -81,9 +96,15 @@ def contamination_hits(
     corpus-side counting pass (map-side partial agg, output bounded by the
     broadcast shingle set). Audit the exclusions with
     contamination_hot_shingles — a dropped shingle usually IS boilerplate,
-    but the audit lets a human confirm."""
-    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k)
-    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
+    but the audit lets a human confirm.
+
+    ``normalize=True`` canonicalizes BOTH sides (lowercase, strip
+    punctuation, collapse whitespace) before shingling — real
+    decontamination (and the 13-gram convention) normalizes first, or a
+    benchmark item quoted with different casing/punctuation escapes the
+    scan entirely (round-3 VERDICT item 2)."""
+    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k, normalize)
+    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k, normalize)
     if max_shingle_hits is not None:
         ok = (
             _shingle_hit_counts(doc_sh, bench_sh)
@@ -108,13 +129,15 @@ def contamination_hot_shingles(
     bench_id_col: str = "bench_id",
     shingle_k: int = 8,
     max_shingle_hits: int = 10_000,
+    normalize: bool = False,
 ) -> DataFrame:
     """(sh, hits) for every benchmark shingle contamination_hits would DROP
     at ``max_shingle_hits`` — the audit trail for the capped run (these are
     usually corpus boilerplate quoted by an eval item; review before
-    trusting the capped hit list)."""
-    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k)
-    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k)
+    trusting the capped hit list). ``normalize`` must match the
+    contamination_hits call being audited."""
+    bench_sh = _bench_shingles(benchmark, bench_text_col, bench_id_col, shingle_k, normalize)
+    doc_sh = _doc_shingles(docs, text_col, id_col, shingle_k, normalize)
     return _shingle_hit_counts(doc_sh, bench_sh).where(
         F.col("hits") > max_shingle_hits
     )
@@ -130,6 +153,7 @@ def decontaminate(
     shingle_k: int = 8,
     min_shared: int = 1,
     max_shingle_hits: int | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Corpus minus contaminated docs (left-anti on contamination_hits'
     doc ids) — the drop list stays distributed; only the benchmark side
@@ -138,7 +162,7 @@ def decontaminate(
     its own module mandates)."""
     hits = contamination_hits(
         docs, benchmark, text_col, id_col, bench_text_col, bench_id_col,
-        shingle_k, min_shared, max_shingle_hits,
+        shingle_k, min_shared, max_shingle_hits, normalize,
     ).select("doc_id").distinct()
     return docs.join(
         hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti"

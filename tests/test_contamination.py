@@ -135,3 +135,59 @@ def test_contamination_hot_shingle_cap_and_audit(spark):
     assert got == {(500, 900000)}
     audited = contamination_hot_shingles(d, bench, max_shingle_hits=10).collect()
     assert [(r["sh"], r["hits"]) for r in audited] == [(boiler, 41)]
+
+
+def test_normalized_shingling_catches_perturbed_quotes(spark):
+    """Round-4 (VERDICT r03 item 2): a benchmark item quoted with different
+    casing/punctuation escapes RAW shingling entirely; normalize=True
+    canonicalizes both sides and catches every plant. Also pins
+    word_shingles(normalize=True) == word_shingles over normalize_text."""
+    from json_schema_py_spark.functions.text import normalize_text, word_shingles
+    from json_schema_py_spark.operators.contamination import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta eta theta iota kappa doc{i} tail")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    # eval items quote docs 0-2 but uppercased, comma-riddled, bang-suffixed
+    bench = spark.createDataFrame(
+        [
+            (900 + i, f"ALPHA, BETA, GAMMA, DELTA, EPSILON, ZETA, ETA, THETA, IOTA, KAPPA, DOC{i}, TAIL!")
+            for i in range(3)
+        ],
+        "bench_id long, text string",
+    )
+    raw = contamination_hits(docs, bench, shingle_k=8, min_shared=1).collect()
+    assert raw == []  # the production gap: perturbed quotes escape raw scan
+    norm = {
+        (r["doc_id"], r["bench_id"])
+        for r in contamination_hits(
+            docs, bench, shingle_k=8, min_shared=1, normalize=True
+        ).collect()
+    }
+    assert {(i, 900 + i) for i in range(3)} <= norm
+    # every norm pair shares the 8-token common prefix — docs 3+ also match
+    # the common part, so check the planted quotes dominate via n_shared
+    ns = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_hits(
+            docs, bench, shingle_k=8, min_shared=1, normalize=True
+        ).collect()
+    }
+    for i in range(3):
+        assert ns[(i, 900 + i)] == max(
+            v for (d, b), v in ns.items() if b == 900 + i
+        )
+    # decontaminate passes normalize through
+    kept = decontaminate(docs, bench, shingle_k=8, min_shared=5, normalize=True)
+    assert kept.count() < 20
+    # word_shingles(normalize=True) ≡ word_shingles(normalize_text(col))
+    a = docs.select(word_shingles(F.col("text"), 3, normalize=True).alias("s"))
+    b = docs.select(word_shingles(normalize_text(F.col("text")), 3).alias("s"))
+    assert a.collect() == b.collect()
