@@ -1115,6 +1115,127 @@ class RuleBinder:
 _COMPILE_CACHE: dict = {}
 _COMPILE_CACHE_MAX = 256
 
+# Disk-persisted compiled-expression cache (SURVEY §9.5; round-3 VERDICT
+# item 3). The in-memory cache amortizes the ~1.3s py4j expression build
+# within a process; spark-submit jobs pay it once per JOB. The compiled
+# Column's UNRESOLVED catalyst tree java-serializes (probed: SQL-text
+# round-trip is impossible — lambdafunction()/namedlambdavariable() don't
+# re-parse — but the serialized tree restores bit-identically and re-resolves
+# by column NAME against any matching DataFrame). One deserialize = one py4j
+# call instead of thousands of Column-op round trips.
+#
+# Keyed by sha256 of (format version, pyspark version, content key) —
+# a version bump or schema change can only MISS, never load a stale tree.
+# All disk I/O is best-effort: any failure falls back to a live build
+# (corrupt entries are deleted). Location: $SPARK_SCHEMA_COMPILE_CACHE, or
+# ~/.cache/json_schema_py_spark/compiled; set to 0/off/empty to disable.
+# The dir is trusted local state (java deserialization runs on load) —
+# point it only at paths you own.
+_DISK_FORMAT_VERSION = 1
+_ENGINE_SOURCE_HASH: Optional[str] = None
+
+
+def _engine_source_hash() -> str:
+    """Hash of the source files that determine compiled output — a code
+    change invalidates every disk entry (the content key alone would keep
+    serving trees compiled by OLDER engine code)."""
+    global _ENGINE_SOURCE_HASH
+    if _ENGINE_SOURCE_HASH is None:
+        import hashlib
+        from pathlib import Path
+
+        h = hashlib.sha256()
+        here = Path(__file__).parent
+        for name in ("compiler.py", "model.py", "regex_dialect.py"):
+            try:
+                h.update((here / name).read_bytes())
+            except OSError:
+                h.update(name.encode())
+        _ENGINE_SOURCE_HASH = h.hexdigest()[:16]
+    return _ENGINE_SOURCE_HASH
+
+
+def _disk_cache_dir():
+    import os
+    from pathlib import Path
+
+    v = os.environ.get("SPARK_SCHEMA_COMPILE_CACHE")
+    if v is not None:
+        if v.strip().lower() in ("", "0", "off", "false", "none"):
+            return None
+        return Path(v)
+    return Path.home() / ".cache" / "json_schema_py_spark" / "compiled"
+
+
+def _disk_cache_path(key: tuple):
+    d = _disk_cache_dir()
+    if d is None:
+        return None
+    import hashlib
+
+    import pyspark
+
+    h = hashlib.sha256(
+        repr(
+            (_DISK_FORMAT_VERSION, pyspark.__version__, _engine_source_hash(), key)
+        ).encode()
+    ).hexdigest()
+    return d / f"{h}.expr"
+
+
+def _classic_jvm_session():
+    """Active classic-mode session with a live py4j gateway, else None
+    (Spark Connect has no _jvm — disk cache is a no-op there)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None or getattr(s, "_jvm", None) is None:
+        return None
+    return s
+
+
+def _disk_cache_load(key: tuple) -> Optional[Column]:
+    try:
+        path = _disk_cache_path(key)
+        if path is None or not path.is_file():
+            return None
+        spark = _classic_jvm_session()
+        if spark is None:
+            return None
+        from pyspark.sql.classic.column import Column as _ClassicColumn
+
+        jexpr = spark._jvm.org.apache.spark.util.Utils.deserialize(path.read_bytes())
+        jc = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jexpr)
+        return _ClassicColumn(jc)
+    except Exception:
+        try:
+            path.unlink(missing_ok=True)  # corrupt/incompatible entry
+        except Exception:
+            pass
+        return None
+
+
+def _disk_cache_store(key: tuple, col: Column, struct_type: T.StructType) -> None:
+    try:
+        path = _disk_cache_path(key)
+        if path is None or path.is_file():
+            return
+        spark = _classic_jvm_session()
+        if spark is None:
+            return
+        # the unresolved expression is only reachable through a plan: project
+        # the Column over an empty frame of the bound schema and take the
+        # Alias child from the un-analyzed logical plan
+        df = spark.createDataFrame([], struct_type).select(col.alias("_c"))
+        jexpr = df._jdf.queryExecution().logical().expressions().apply(0).child()
+        data = bytes(spark._jvm.org.apache.spark.util.Utils.serialize(jexpr))
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{id(col)}")
+        tmp.write_bytes(data)
+        tmp.replace(path)  # atomic vs concurrent writers
+    except Exception:
+        return
+
 
 def _compile_cache_key(schema: Any, struct_type: T.StructType, mode: str) -> Optional[tuple]:
     if isinstance(schema, Rule):
@@ -1151,6 +1272,13 @@ def compile_ruleset(
     cached = _COMPILE_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
+    if key is not None:
+        disk = _disk_cache_load(key)
+        if disk is not None:
+            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+                _COMPILE_CACHE.clear()
+            _COMPILE_CACHE[key] = disk
+            return disk
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     bound = RuleBinder(verbose=verbose).bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
@@ -1167,6 +1295,7 @@ def compile_ruleset(
         if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
             _COMPILE_CACHE.clear()
         _COMPILE_CACHE[key] = col
+        _disk_cache_store(key, col, struct_type)
     return col
 
 
@@ -1177,6 +1306,13 @@ def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
     cached = _COMPILE_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
+    if key is not None:
+        disk = _disk_cache_load(key)
+        if disk is not None:
+            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+                _COMPILE_CACHE.clear()
+            _COMPILE_CACHE[key] = disk
+            return disk
     rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
     bound = RuleBinder().bind(rule, struct_type)
     root = F.struct(*[F.col(f.name) for f in struct_type.fields])
@@ -1185,6 +1321,7 @@ def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
         if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
             _COMPILE_CACHE.clear()
         _COMPILE_CACHE[key] = col
+        _disk_cache_store(key, col, struct_type)
     return col
 
 
