@@ -10,18 +10,24 @@ semantics entirely JVM-side. (reference analogue: the per-document dynamic
 interpreter, json_schema/validator.py:31-108 — re-realized as expressions.)
 
 When to choose it (measured sf0.1 events, 100k small docs, local[32],
-interleaved A/B min-of-6 — this host is noisy, see BASELINE.md): the
-exact pandas path is ~1.4x faster clean (0.80s vs 1.15s) and ~1.7x at 50%
-violation rate (1.12s vs 1.89s) — per-doc CPython is cheap for small
-documents. Round 3 cut the variant side ~10-20% (single-layer schema-
-string dispatch replacing the token chain, single-bind parse, map-entries
-iteration); the remaining gap is the per-value schema_of_variant dispatch
-plus violation re-evaluation for flagged docs. The variant path wins
-operationally, not per-row: no Python workers (no executor memory split,
-no Arrow hop), it composes into the same whole-stage plan as adjacent
-Column work, states Iceberg/Delta variant-column inputs natively (validate
-WITHOUT re-serializing to JSON strings), and its allocation-free boolean
-gate skips violation construction for clean documents. For
+interleaved A/B min-of-6 — this host is noisy, see BASELINE.md): on a
+CLEAN corpus (the 10^12-scale regime) the variant path now matches the
+exact pandas path — 0.51s vs 0.52s (0.97x) after the round-4 lifts:
+string-key fast path for propertyNames (direct RLIKE/length on the key
+instead of to_json→parse_json→variant_get per key), open-object
+extra-entries without the constant-true filter wrap, a compiled-Column
+cache (the binder build was ~0.9s of serial driver py4j PER CALL —
+in-memory + disk via the compiler's cache machinery), and
+ensure_parallelism (see the note at validate_json_variant). At a hostile
+50% violation rate the exact path is still ~2.6x faster (0.6s vs 1.5s):
+violation CONSTRUCTION dominates there, and the HOF expression tree runs
+codegen-fallback (interpreted) while CPython's per-doc walk is cheap for
+small documents. The variant path wins operationally, not per-row: no
+Python workers (no executor memory split, no Arrow hop), it composes
+into the same whole-stage plan as adjacent Column work, states
+Iceberg/Delta variant-column inputs natively (validate WITHOUT
+re-serializing to JSON strings), and its allocation-free boolean gate
+skips violation construction for clean documents. For
 CPython-regex/str()-corner parity the exact path remains the arbiter
 (validate_json_auto routes).
 
@@ -61,6 +67,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from json_schema_py_spark.errors import ErrorCode
 from json_schema_py_spark.schema.compiler import (
@@ -513,6 +520,88 @@ class VariantBinder:
 
     # ---------------- objects ----------------
 
+    def _bind_string_rule(self, rule: Rule):
+        """Specialized binder for a rule applied to a value that is
+        STATICALLY a string (propertyNames keys): returns
+        (viol(key, path) -> array<violation>, fires(key) -> boolean), or
+        None when the rule needs the generic variant wrap (logical ops).
+
+        Parity contract with the generic path (pinned in
+        test_json_variant): emission ORDER is _node_seq's (type gate →
+        enum → const → string checks); observed is the key itself (what
+        _obs renders for a string variant); keywords gated on other
+        runtime types (numbers/arrays/objects) can NEVER fire on a string
+        and are omitted — same no-emission outcome, zero expressions."""
+        if rule.all_of or rule.any_of or rule.one_of or rule.not_ is not None:
+            return None
+        from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
+
+        seq: list = []
+
+        def check(cond, code: str) -> None:
+            seq.append(
+                (
+                    "check",
+                    lambda k, path, c=cond, cd=code: _maybe(c(k), cd, path, k),
+                    cond,
+                )
+            )
+
+        if rule.enum is not None:
+            svals = [e for e in rule.enum if isinstance(e, str)]
+
+            def enum_cond(k, svals=tuple(svals)):
+                # a string key can only match the enum's STRING members;
+                # an enum with none is a constant mismatch (generic parity)
+                if not svals:
+                    return F.lit(True)
+                return ~k.isin(list(svals))
+
+            check(enum_cond, ErrorCode.ENUM_MISMATCH.value)
+        if rule.const_set:
+            if isinstance(rule.const, str):
+                check(
+                    lambda k, t=rule.const: k != F.lit(t),
+                    ErrorCode.CONST_MISMATCH.value,
+                )
+            else:
+                check(lambda k: F.lit(True), ErrorCode.CONST_MISMATCH.value)
+        if rule.min_length is not None:
+            check(
+                lambda k, n=rule.min_length: F.length(k) < n,
+                ErrorCode.STRING_TOO_SHORT.value,
+            )
+        if rule.max_length is not None:
+            check(
+                lambda k, n=rule.max_length: F.length(k) > n,
+                ErrorCode.STRING_TOO_LONG.value,
+            )
+        if rule.pattern is not None:
+            jp = checked_java_pattern(rule.pattern)
+            if jp is None:  # Python-invalid: lazy SCHEMA_INVALID (reference)
+                check(lambda k: F.lit(True), ErrorCode.SCHEMA_INVALID.value)
+            else:
+                check(
+                    lambda k, p=jp: ~k.rlike(p),
+                    ErrorCode.PATTERN_MISMATCH.value,
+                )
+
+        type_fail = rule.types is not None and "string" not in rule.types
+
+        def viol(k: Column, path: Column) -> Column:
+            if type_fail:
+                return F.array(_viol(ErrorCode.TYPE_ERROR.value, path, k)).cast(
+                    VIOLATION_TYPE
+                )
+            return _assemble_viols(seq, lambda fn: fn(k, path))
+
+        def fires(k: Column) -> Column:
+            if type_fail:
+                return F.lit(True)
+            return _assemble_fires(seq, lambda fn: fn(k))
+
+        return viol, fires
+
     @staticmethod
     def _has_object_keywords(rule: Rule) -> bool:
         return bool(
@@ -573,20 +662,43 @@ class VariantBinder:
                     lambda m, path, k=b: _child(path, k), none_obs,
                 )
         if rule.property_names is not None:
-            nv, nf = self.bind(rule.property_names)
-            oseq.append(
-                (
-                    "child",
-                    lambda m, path, b=nv: F.flatten(
-                        F.transform(
-                            F.map_keys(m), lambda k: _as_string_variant_viols(b, k, path)
-                        )
-                    ),
-                    lambda m, f=nf: F.exists(
-                        F.map_keys(m), lambda k: _string_key_fires(f, k)
-                    ),
+            fast = self._bind_string_rule(rule.property_names)
+            if fast is not None:
+                # keys are statically STRINGS: for string-expressible rules
+                # the per-key to_json→parse_json→variant_get wrap (plus a
+                # schema_of_variant dispatch) collapses to direct Column
+                # checks on the key — measured 2.3x on the propertyNames-
+                # heavy open-object gate (round-4 perf lift)
+                kviol, kfires = fast
+                oseq.append(
+                    (
+                        "child",
+                        lambda m, path, b=kviol: F.flatten(
+                            F.transform(
+                                F.map_keys(m),
+                                lambda k: b(k, _key_path(path, k)),
+                            )
+                        ),
+                        lambda m, f=kfires: F.exists(
+                            F.map_keys(m), lambda k: f(k)
+                        ),
+                    )
                 )
-            )
+            else:
+                nv, nf = self.bind(rule.property_names)
+                oseq.append(
+                    (
+                        "child",
+                        lambda m, path, b=nv: F.flatten(
+                            F.transform(
+                                F.map_keys(m), lambda k: _as_string_variant_viols(b, k, path)
+                            )
+                        ),
+                        lambda m, f=nf: F.exists(
+                            F.map_keys(m), lambda k: _string_key_fires(f, k)
+                        ),
+                    )
+                )
         matched_static = list(rule.properties.keys())
         for k, sub in rule.properties.items():
             sv, sf = self.bind(sub)
@@ -665,9 +777,20 @@ class VariantBinder:
 
             extra_pred = _make_extra_pred(tuple(skip), tuple(pattern_list))
 
-            def extra_entries(m):
-                # entries, not keys + per-key lookup (see pentries note)
-                return F.filter(F.map_entries(m), lambda e: extra_pred(e["key"]))
+            if skip or pattern_list:
+
+                def extra_entries(m):
+                    # entries, not keys + per-key lookup (see pentries note)
+                    return F.filter(F.map_entries(m), lambda e: extra_pred(e["key"]))
+
+            else:
+
+                def extra_entries(m):
+                    # fully-open object (no declared/pattern properties):
+                    # EVERY entry is "extra" — a filter(..., true) wrapper
+                    # costs a per-entry lambda eval in the interpreted HOF
+                    # regime for nothing (round-4 perf lift)
+                    return F.map_entries(m)
 
             if ap is False:
                 oseq.append(
@@ -772,44 +895,75 @@ def validate_json_variant(
     nulls out produce real TYPE_ERRORs here, presence ≠ JSON null, and the
     whole thing stays JVM-side. Malformed JSON → SCHEMA_INVALID (exact-path
     convention)."""
-    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
-    binder = VariantBinder()
-    viol, fires = binder.bind(rule)
+    # compiled-Column cache (same disease and cure as the static compiler,
+    # round-4): the binder's expression build is ~0.9s of serial driver-side
+    # py4j per call — 10x the small-corpus execution. The violations Column
+    # binds only F.col(json_col) by NAME, so one build serves every
+    # DataFrame; in-memory + disk (serialized catalyst tree) via the
+    # compiler's cache machinery.
+    from json_schema_py_spark.schema import compiler as _C
 
-    # a NULL payload is evaluated as a JSON null document (exact-path
-    # convention: json.loads(raw) if raw is not None else None). The parse
-    # is bound ONCE as a lambda variable for the WHOLE when-chain —
-    # round 2 wrote the parse expression three times (bad gate / isNotNull
-    # / body), tripling the parse cost (expressions have no CSE; measured
-    # ~10% of the pipeline, round-3 perf lift).
-    parsed = F.try_parse_json(F.coalesce(F.col(json_col), F.lit("null")))
-    violations = F.get(
-        F.transform(
-            F.array(parsed),
-            lambda v: F.when(
-                F.col(json_col).isNotNull() & v.isNull(),
-                F.array(
-                    _viol(
-                        ErrorCode.SCHEMA_INVALID.value,
-                        F.lit(""),
-                        F.substring(F.col(json_col), 1, 256),
-                    )
-                ).cast(VIOLATION_TYPE),
+    ckey = _C._compile_cache_key(schema, T.StructType([T.StructField(json_col, T.StringType())]), "variant")
+    violations = _C._COMPILE_CACHE.get(ckey) if ckey is not None else None
+    if violations is None and ckey is not None:
+        violations = _C._disk_cache_load(ckey)
+        if violations is not None:
+            _C._COMPILE_CACHE[ckey] = violations
+    if violations is None:
+        rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+        binder = VariantBinder()
+        viol, fires = binder.bind(rule)
+
+        # a NULL payload is evaluated as a JSON null document (exact-path
+        # convention: json.loads(raw) if raw is not None else None). The parse
+        # is bound ONCE as a lambda variable for the WHOLE when-chain —
+        # round 2 wrote the parse expression three times (bad gate / isNotNull
+        # / body), tripling the parse cost (expressions have no CSE; measured
+        # ~10% of the pipeline, round-3 perf lift).
+        parsed = F.try_parse_json(F.coalesce(F.col(json_col), F.lit("null")))
+        violations = F.get(
+            F.transform(
+                F.array(parsed),
+                lambda v: F.when(
+                    F.col(json_col).isNotNull() & v.isNull(),
+                    F.array(
+                        _viol(
+                            ErrorCode.SCHEMA_INVALID.value,
+                            F.lit(""),
+                            F.substring(F.col(json_col), 1, 256),
+                        )
+                    ).cast(VIOLATION_TYPE),
+                )
+                .when(
+                    v.isNotNull(),
+                    # static-binder doctrine: the allocation-free boolean gate
+                    # runs first; only flagged documents build violation objects
+                    F.when(fires(v), viol(v, F.lit(""))).otherwise(_empty()),
+                )
+                .otherwise(_empty()),
+            ),
+            0,
+        )
+        if ckey is not None:
+            if len(_C._COMPILE_CACHE) >= _C._COMPILE_CACHE_MAX:
+                _C._COMPILE_CACHE.clear()
+            _C._COMPILE_CACHE[ckey] = violations
+            _C._disk_cache_store(
+                ckey,
+                violations,
+                T.StructType([T.StructField(json_col, T.StringType())]),
             )
-            .when(
-                v.isNotNull(),
-                # static-binder doctrine: the allocation-free boolean gate
-                # runs first; only flagged documents build violation objects
-                F.when(fires(v), viol(v, F.lit(""))).otherwise(_empty()),
-            )
-            .otherwise(_empty()),
-        ),
-        0,
-    )
-    # no ensure_parallelism here: AQE re-coalesces the repartition exchange
-    # for this small-data JVM path (measured round 3 — the expression still
-    # ran on 2 post-coalesce partitions), so the extra shuffle buys nothing;
-    # the pandas EXACT path keeps it because mapInPandas runs pre-coalesce
+    # ensure_parallelism REINSTATED (round-4): the round-3 "AQE re-coalesces
+    # anyway" claim was re-measured and does NOT hold for this path — the
+    # heavy projection fuses into the SCAN stage (2 splits on a compacted
+    # small-corpus parquet) because the HOF-heavy expression is codegen-
+    # fallback and CPU-bound per byte, exactly the case AQE's size-based
+    # coalescing misjudges. One explicit-N repartition: 2.08s → 1.48s on
+    # the 50%-violation corpus. At production scale (splits >> cores) it's
+    # a no-op.
+    from json_schema_py_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return (
         df.select(F.col(key_col).alias("doc_id"), violations.alias("violations"))
         .select("doc_id", F.explode("violations").alias("x"))

@@ -225,3 +225,55 @@ def test_variant_binder_on_shredded_parquet(spark, tmp_path):
     assert out(plain_p) == out(shred_p)
     flagged = {e for e, x in out(plain_p) if x}
     assert flagged == {2, 3}
+
+
+def test_property_names_string_fast_path_parity(spark):
+    """Round-4: the string-key fast path for propertyNames must emit
+    byte-identical (rule_id, path, observed) rows to the GENERIC
+    variant-wrap path across every eligible keyword family — pattern,
+    min/maxLength, enum (incl. non-string members), const (string and
+    non-string), Python-invalid pattern, and a type gate that excludes
+    strings. Logical-op rules stay on the generic path (eligibility)."""
+    import json as _json
+
+    from json_schema_py_spark.plans.json_variant import VariantBinder, validate_json_variant
+    from json_schema_py_spark.schema.model import normalize_schema
+    from json_schema_py_spark.schema.pyeval import evaluate
+
+    docs = [
+        {"ok": 1, "Bad": 2, "toolongkey": 3},
+        {"a": 1},
+        {"": 5, "zz": 6},
+        {"ok": None, "x9": [1, 2]},
+    ]
+    pn_schemas = [
+        {"pattern": "^[a-z]+$"},
+        {"minLength": 2, "maxLength": 5},
+        {"enum": ["ok", "zz", 3, None, True]},
+        {"enum": [1, 2]},                      # no string members: every key fails
+        {"const": "ok"},
+        {"const": 7},                          # non-string const: every key fails
+        {"pattern": "(?P<n>a)(?P=n)"},         # Python-valid, Java-translated or invalid
+        {"type": "integer"},                   # type gate excludes string: TYPE_ERROR per key
+        {"type": "string", "pattern": "^o"},
+        {"minLength": 1, "pattern": "^[a-z]", "enum": ["ok", "a", "zz", "x9", ""]},
+    ]
+    for pn in pn_schemas:
+        schema = {"type": "object", "propertyNames": pn}
+        rule = normalize_schema(schema)
+        # eligibility: these are all logical-op-free → fast path taken
+        assert VariantBinder()._bind_string_rule(rule.property_names) is not None, pn
+        data = [(i, _json.dumps(d)) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(data, "doc_id long, payload string")
+        got: dict[int, list] = {}
+        for r in validate_json_variant(df, "payload", schema).collect():
+            got.setdefault(r["doc_id"], []).append((r["rule_id"], r["path"], r["observed"]))
+        for i, d in enumerate(docs):
+            expected = sorted((c, p, o) for c, p, o in evaluate(rule, d, ""))
+            assert sorted(got.get(i, [])) == expected, (pn, d, got.get(i, []), expected)
+
+    # ineligible: logical ops on propertyNames fall back to the generic wrap
+    for pn in ({"anyOf": [{"pattern": "^a"}]}, {"not": {"pattern": "^a"}},
+               {"allOf": [{"minLength": 1}]}, {"oneOf": [{"pattern": "^a"}]}):
+        rule = normalize_schema({"type": "object", "propertyNames": pn})
+        assert VariantBinder()._bind_string_rule(rule.property_names) is None, pn
