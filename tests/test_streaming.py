@@ -242,3 +242,84 @@ def test_streaming_psi_baseline_with_duplicate_buckets(spark):
         return out[0]["psi"]
 
     assert run(base) == run(doubled)
+
+
+def test_streaming_drift_loop_matches_batch_verdict(spark, tmp_path):
+    """Round-4 (VERDICT r03 item 5): the HistogramLog's latest snapshot
+    feeds streaming_psi directly, and a drifted window emits the SAME
+    DISTRIBUTION_DRIFT violation row (rule_id, path, observed) that
+    run_validation's batch drift loop produces on the identical rows vs
+    the identical baseline. A non-drifted window emits nothing on both
+    sides."""
+    from datetime import datetime
+
+    from json_schema_py_spark.plans.stats_history import HistogramLog
+    from json_schema_py_spark.plans.validation import run_validation
+    from json_schema_py_spark.streaming.drift_stream import (
+        streaming_drift_violations,
+        streaming_psi_from_log,
+    )
+
+    log = HistogramLog(spark, str(tmp_path / "hist"), bounds={"v": (0.0, 10.0, 5)})
+
+    # run-0 (batch): uniform snapshot becomes the baseline
+    base_rows = [(float(i % 10),) for i in range(200)]
+    log.append(spark.createDataFrame(base_rows, "v double"), "run-0")
+
+    # stream: window A mirrors the baseline, window B is drifted hard
+    rows = [(datetime(2026, 1, 1, 10, 1), float(i % 10)) for i in range(200)]
+    rows += [(datetime(2026, 1, 1, 10, 11), 9.0) for _ in range(200)]
+    sdf = spark.createDataFrame(rows, "ts timestamp, v double")
+    src = str(tmp_path / "src")
+    sdf.coalesce(1).write.parquet(src)
+    for m in (31, 41):  # watermark-driving sentinels (non-null values)
+        spark.createDataFrame(
+            [(datetime(2026, 1, 1, 10, m), 0.0)], "ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    q = (
+        streaming_drift_violations(
+            stream, "v", log, threshold=0.25,
+            window_duration="10 minutes", watermark="1 second",
+        )
+        .writeStream.format("memory").queryName("drift_loop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from drift_loop").collect()
+    # the drifted 10:10 window AND the 10:30 sentinel window (one row
+    # concentrated in bucket 0 IS drifted vs the uniform baseline — a
+    # correct verdict, not noise); the mirror 10:00 window emits nothing
+    # and the final sentinel window never closes
+    assert {r["window_start"].minute for r in got} == {10, 30}, got
+    r = next(x for x in got if x["window_start"].minute == 10)
+    assert (r["doc_id"], r["rule_id"], r["path"]) == (None, "DISTRIBUTION_DRIFT", "/v")
+
+    # batch loop on the drifted window's rows vs the same log baseline
+    drifted = spark.createDataFrame([(i, 9.0) for i in range(200)], "doc_id long, v double")
+    run = run_validation(
+        drifted,
+        {"r": {"properties": {"v": {"type": "number"}}}},
+        unique_key=None,
+        drift_baselines=log.latest_baselines(),
+        drift_histogram=log.bounds,
+        drift_threshold=0.25,
+    )
+    batch_rows = [
+        (x["rule_id"], x["path"], x["observed"])
+        for x in run.violations.where(F.col("rule_id") == "DISTRIBUTION_DRIFT").collect()
+    ]
+    assert batch_rows == [(r["rule_id"], r["path"], r["observed"])]
+
+    # guards: unwatched column, missing snapshot
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not watched"):
+        streaming_psi_from_log(stream, "w", log)
+    empty_log = HistogramLog(spark, str(tmp_path / "none"), bounds={"v": (0.0, 1.0, 2)})
+    with _pytest.raises(ValueError, match="no snapshot"):
+        streaming_psi_from_log(stream, "v", empty_log)
