@@ -281,6 +281,21 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_combined_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 (VERDICT r03 item 6): MinHash + SimHash in ONE projection
+    over ONE tokenize pass — bit-identical to the standalone operators
+    (oracle composes the q_minhash and q_simhash SQL and joins)."""
+    from json_schema_py_spark.operators.dedup import combined_signatures
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    sigs = combined_signatures(d, num_hashes=4)
+    return sigs.select(
+        "id",
+        *[F.get(F.col("sig"), i).alias(f"mh{i}") for i in range(4)],
+        "simhash",
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.dedup import minhash_lsh_pairs
 
@@ -720,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash": q_minhash,
+        "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_media_ppm": q_media_ppm,
         "q_contamination": q_contamination,
@@ -1183,6 +1199,19 @@ SELECT doc_id,
    + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
    + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))::INT AS pii_total
 FROM d
+""",
+        "q_combined_signatures": _simhash_cte(50) + f""", mbase AS (
+  SELECT doc_id AS id, {_shingles_sql(_TOKS)} AS shl FROM documents WHERE doc_id < 50
+), mh AS (
+  SELECT id,
+    list_min(list_transform(shl, s -> {_hash64_sql('s', 'mh0')})) AS mh0,
+    list_min(list_transform(shl, s -> {_hash64_sql('s', 'mh1')})) AS mh1,
+    list_min(list_transform(shl, s -> {_hash64_sql('s', 'mh2')})) AS mh2,
+    list_min(list_transform(shl, s -> {_hash64_sql('s', 'mh3')})) AS mh3
+  FROM mbase
+)
+SELECT mh.id, mh0, mh1, mh2, mh3, sh.simhash
+FROM mh JOIN sh ON mh.id = sh.id
 """,
         "q_simhash": _simhash_sql(),
         # brute-force Hamming truth: the block-partition join is EXACT at

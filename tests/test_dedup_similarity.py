@@ -491,3 +491,36 @@ def test_topk_zero_norm_vectors_never_rank(spark):
         for r in out:
             by_q.setdefault(r["query_id"], []).append(r["rank"])
         assert all(sorted(v) == [1, 2, 3] for v in by_q.values()), fn.__name__
+
+
+def test_combined_signatures_bit_identical_and_single_pass(spark):
+    """Round-4: combined_signatures returns BIT-IDENTICAL MinHash and
+    SimHash values to the standalone operators (same seeds, same folds),
+    and the optimized plan carries exactly ONE combined fold — two direct
+    struct-field references would silently duplicate the whole expression
+    under projection collapse."""
+    from json_schema_py_spark.operators.dedup import (
+        combined_signatures,
+        minhash_signatures,
+        simhash,
+    )
+
+    rows = [(i, f"tok{i % 7} alpha beta tok{i % 3} gamma delta " * 3) for i in range(40)]
+    rows.append((99, ""))  # zero-token doc: sig NULL, simhash 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c = {r["id"]: (r["sig"], r["simhash"]) for r in combined_signatures(docs).collect()}
+    m = {r["id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    s = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert len(c) == 41
+    for i in c:
+        assert c[i] == (m[i], s[i]), i
+    assert c[99] == (None, 0)
+
+    # single evaluation: the projection boundary holds in the optimized
+    # plan — combined's md5 count equals the standalone SUM (one fold
+    # each), not double it (which collapse-duplication would produce)
+    plan = combined_signatures(docs)._jdf.queryExecution().optimizedPlan().toString()
+    n_comb = plan.count("md5")
+    n_min = minhash_signatures(docs)._jdf.queryExecution().optimizedPlan().toString().count("md5")
+    n_sim = simhash(docs)._jdf.queryExecution().optimizedPlan().toString().count("md5")
+    assert n_comb == n_min + n_sim, (n_comb, n_min, n_sim)
