@@ -1242,22 +1242,26 @@ SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
 FROM embeddings WHERE vec_id < 5
 """,
         # exact replication of the int8 quantize->dequantize->cosine math
+        # integer inner product (round-4): the per-vector scale cancels
+        # out of cosine, so score = int dot / (int norm x int norm) —
+        # identical floor-half-up quantization, identical arithmetic order
         "q_ann_quantized": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qz AS (
   SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS s, v FROM e
-), dq AS (
+), iq AS (
   SELECT vec_id,
     CASE WHEN s > 0
-      THEN list_transform(v, x -> floor(x / s * 127 + 0.5) * s / 127.0)
-      ELSE list_transform(v, x -> 0.0) END AS v
+      THEN list_transform(v, x -> floor(x / s * 127 + 0.5)::BIGINT)
+      ELSE list_transform(v, x -> 0::BIGINT) END AS q
   FROM qz
-), q AS (SELECT vec_id, v FROM dq WHERE vec_id < 10),
+), nq AS (
+  SELECT vec_id, q, sqrt(list_dot_product(q, q)::DOUBLE) AS n FROM iq
+), qs AS (SELECT vec_id, q, n FROM nq WHERE vec_id < 10),
 s AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    list_dot_product(q.v, c.v)
-      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sc
-  FROM q, dq c WHERE c.vec_id <> q.vec_id
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(qs.q, c.q)::DOUBLE / (c.n * qs.n) AS sc
+  FROM qs, nq c WHERE c.vec_id <> qs.vec_id AND c.n > 0 AND qs.n > 0
 ), r AS (
   SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
