@@ -198,3 +198,59 @@ def test_select_to_token_budget_nan_and_noncastable_quality(spark):
     sout = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in
             select_to_token_budget(sdf, 4, "q", num_buckets=4).collect()}
     assert sout == {1: (3, True), 2: (5, False), 3: (None, False)}
+
+
+def test_quantile_buckets_balance_skewed_ids(spark):
+    """Round-4 (VERDICT r03 item 8): a pathological id distribution (95%
+    of ids inside 0.1% of the span) collapses uniform range-bucketing
+    into one hot bucket; quantile boundaries keep buckets balanced. Both
+    modes must produce the IDENTICAL global prefix sum (output is
+    bucketing-invariant), pinned against the naive global window."""
+    from json_schema_py_spark.operators.packing import (
+        _quantile_bucket_col,
+        assign_token_spans,
+    )
+
+    # 380 ids in [0, 400), 20 ids flung out to ~10^9: the uniform span
+    # [0, 1e9] puts 95% of rows in bucket 1
+    rows = [(i, "w " * (3 + i % 5)) for i in range(380)]
+    rows += [(1_000_000_000 + i * 1000, "x y z") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    naive = sorted((r[0], len(r[1].split())) for r in rows)
+    cum, truth = 0, {}
+    for did, n in naive:
+        truth[did] = (n, cum, cum // 40, (cum + n - 1) // 40)
+        cum += n
+
+    for mode in ("range", "quantile"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_tok"], r["first_pack"], r["last_pack"])
+            for r in assign_token_spans(df, 40, num_buckets=8, bucket_mode=mode).collect()
+        }
+        assert got == truth, mode
+
+    # balance: quantile buckets each hold ≤ ~2x the fair share; range
+    # bucketing concentrates 95% in one bucket
+    base = df.selectExpr("doc_id", "1 as n_tokens")
+    qb = base.withColumn("_b", _quantile_bucket_col(base, F.col("doc_id"), 8))
+    sizes = {r["_b"]: r["c"] for r in qb.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    assert max(sizes.values()) <= 2 * (400 / 8), sizes
+    rb = base.withColumn(
+        "_b", F.width_bucket(F.col("doc_id"), F.lit(0), F.lit(1_000_000_000 + 19_001), F.lit(8))
+    )
+    rsizes = {r["_b"]: r["c"] for r in rb.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    assert max(rsizes.values()) >= 380  # the documented collapse
+
+    # invalid mode rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_mode"):
+        assign_token_spans(df, 40, bucket_mode="zipf")
+
+    # string ids take the quantile path through the surrogate
+    sdf = spark.createDataFrame(
+        [(f"doc-{i:04d}", "a b c") for i in range(50)], "doc_id string, text string"
+    )
+    sgot = {r["doc_id"]: r["start_tok"] for r in
+            assign_token_spans(sdf, 10, num_buckets=4, bucket_mode="quantile").collect()}
+    assert sgot == {f"doc-{i:04d}": i * 3 for i in range(50)}
