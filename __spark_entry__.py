@@ -357,6 +357,36 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(d)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: within-document repetition signals (the Gopher-rule
+    family — duplicate lines, top-bigram character coverage). The corpus
+    is single-line by construction, so repetition is planted per residue
+    class; DuckDB recomputes every fraction with list folds over the
+    identical definitions."""
+    from json_schema_py_spark.functions.text import repetition_metrics
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nrepeat me now\nrepeat me now\nunique tail line"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" spam ham spam ham spam ham")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    m = repetition_metrics(F.col("text"), ngram_n=2)
+    return d.select(
+        "doc_id",
+        m["dup_line_fraction"].alias("dup_line_fraction"),
+        m["dup_line_char_fraction"].alias("dup_line_char_fraction"),
+        m["top_ngram_char_fraction"].alias("top_ngram_char_fraction"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.dedup import simhash
 
@@ -741,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
+        "q_repetition": q_repetition,
         "q_simhash": q_simhash,
         "q_simhash_near_pairs": q_simhash_near_pairs,
         "q_ann_topk": q_ann_topk,
@@ -1212,6 +1243,41 @@ FROM d
 )
 SELECT mh.id, mh0, mh1, mh2, mh3, sh.simhash
 FROM mh JOIN sh ON mh.id = sh.id
+""",
+        # repetition signals: lines/bigram folds with explicit multiplicity
+        # recomputation (O(k^2) list_filter counts are fine for an oracle)
+        "q_repetition": """
+WITH d AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+       THEN chr(10) || 'repeat me now' || chr(10) || 'repeat me now' || chr(10) || 'unique tail line'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' spam ham spam ham spam ham' ELSE '' END AS text
+  FROM documents
+), parts AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM d
+), grams AS (
+  SELECT doc_id, text, lines,
+    [array_to_string(toks[i:i+1], ' ') for i in range(1, greatest(len(toks) - 0, 1))] AS gs
+  FROM parts
+)
+SELECT doc_id,
+  ROUND(CASE WHEN len(lines) > 0
+    THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) ELSE 0.0 END, 6)
+    AS dup_line_fraction,
+  ROUND(CASE WHEN list_sum(list_transform(lines, l -> len(l))) > 0
+    THEN list_sum(list_transform(list_distinct(lines),
+           dl -> (len(list_filter(lines, x -> x = dl)) - 1) * len(dl)))::DOUBLE
+         / list_sum(list_transform(lines, l -> len(l)))
+    ELSE 0.0 END, 6) AS dup_line_char_fraction,
+  ROUND(CASE WHEN len(text) > 0 AND len(gs) > 0
+    THEN list_max(list_transform(list_distinct(gs),
+           g -> len(list_filter(gs, x -> x = g)) * len(g)))::DOUBLE / len(text)
+    ELSE 0.0 END, 6) AS top_ngram_char_fraction
+FROM grams
 """,
         "q_simhash": _simhash_sql(),
         # brute-force Hamming truth: the block-partition join is EXACT at

@@ -157,3 +157,109 @@ def lang_id(col: Column, en_threshold: float = 0.03) -> Column:
     return F.when(stopword_ratio(col) >= en_threshold, F.lit("en")).otherwise(
         F.lit("unknown")
     )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """NON-distinct word n-grams — repetition analysis needs multiplicity
+    (word_shingles distincts, which is right for Jaccard/MinHash and wrong
+    here)."""
+    toks = tokens(col)
+    m = F.size(toks)
+    shifted = [toks] + [
+        F.slice(toks, i + 1, F.greatest(m - i, F.lit(0))) for i in range(1, n)
+    ]
+    zipped = shifted[0]
+    for nxt in shifted[1:]:
+        zipped = F.zip_with(zipped, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(zipped, 1, F.greatest(m - (n - 1), F.lit(0)))
+
+
+def _max_run_char_coverage(arr: Column) -> Column:
+    """max over distinct elements of (multiplicity x element length) — the
+    characters covered by the most repetitive element. One sort + one fold
+    (O(k log k) per row); defined WITHOUT an argmax so ties cannot make the
+    value ambiguous (a tie-broken argmax of different-length elements would
+    be oracle-hostile)."""
+    srt = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(srt, acc0, step, lambda acc: acc["best"])
+
+
+def _dup_char_sum(arr: Column) -> Column:
+    """Σ over occurrences BEYOND the first of each element of its length —
+    characters spent on exact repeats. Same sort+fold shape."""
+    srt = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["dup"] + F.length(x))
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    return F.aggregate(srt, acc0, step, lambda acc: acc["dup"])
+
+
+def text_lines(col: Column) -> Column:
+    """Trimmed non-empty lines."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def repetition_metrics(col: Column, ngram_n: int = 2, round_to: int = 6) -> Column:
+    """Struct of repetition signals (the Gopher-rule family for
+    within-document repetition — no reference analogue; standard
+    pretraining quality filters):
+
+    * dup_line_fraction      — duplicate line occurrences / lines
+    * dup_line_char_fraction — chars in repeat line occurrences / line chars
+    * top_ngram_char_fraction— chars covered by the most repetitive word
+                               ngram_n-gram / total chars
+
+    All pure JVM sort+fold expressions, each with an exact DuckDB mirror
+    (multiplicities via list folds)."""
+    lines = text_lines(col)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    grams = word_ngrams(col, ngram_n)
+    n_chars = F.length(col)
+    return F.struct(
+        F.round(
+            F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0)), round_to
+        ).alias("dup_line_fraction"),
+        F.round(
+            F.when(line_chars > 0, _dup_char_sum(lines) / line_chars).otherwise(
+                F.lit(0.0)
+            ),
+            round_to,
+        ).alias("dup_line_char_fraction"),
+        F.round(
+            F.when(
+                (n_chars > 0) & (F.size(grams) > 0),
+                _max_run_char_coverage(grams) / n_chars,
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("top_ngram_char_fraction"),
+    )

@@ -64,6 +64,9 @@ def curate_documents(
     near_dup_method: str = "lsh",
     ngram_max_bucket_rows: int = 1000,
     max_pii_total: int | None = None,
+    max_dup_line_fraction: float | None = None,
+    max_top_ngram_char_fraction: float | None = None,
+    repetition_ngram_n: int = 2,
 ) -> DataFrame:
     """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc.
 
@@ -98,6 +101,22 @@ def curate_documents(
         )
         .when(F.col("_swr") < min_stopword_ratio, F.lit("low_quality"))
     )
+    if max_dup_line_fraction is not None or max_top_ngram_char_fraction is not None:
+        # round-4 (Gopher-rule family): within-document repetition caps —
+        # slotted after low_quality, before pii, so the drop-reason priority
+        # stays a strict chain. Opt-in: thresholds are corpus policy.
+        from json_schema_py_spark.functions.text import repetition_metrics
+
+        rm = repetition_metrics(F.col("text"), ngram_n=repetition_ngram_n)
+        if max_dup_line_fraction is not None:
+            quality_reason = quality_reason.when(
+                rm["dup_line_fraction"] > max_dup_line_fraction, F.lit("repetitive")
+            )
+        if max_top_ngram_char_fraction is not None:
+            quality_reason = quality_reason.when(
+                rm["top_ngram_char_fraction"] > max_top_ngram_char_fraction,
+                F.lit("repetitive"),
+            )
     if max_pii_total is not None:
         from json_schema_py_spark.operators.contamination import pii_total_col
 

@@ -130,3 +130,67 @@ def test_curation_pii_reason(spark):
         df, min_tokens=3, max_tokens=100, lang=None
     ).collect()}
     assert out2[1] == "kept" and out2[2] == "exact_duplicate"
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Round-4: repetition signals against hand-computed values."""
+    from json_schema_py_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup' twice: dup_line_fraction 1/4; dup chars 3 of 12
+            (1, "dup\nxx\ndup\nyyyy"),
+            # bigrams of 'a b a b a': [a b, b a, a b, b a] -> top 'a b' x2
+            # covers 6 chars of 9
+            (2, "a b a b a"),
+            (3, ""),  # empty: all zeros
+            (4, "solo line no repeats here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["m"]["dup_line_fraction"],
+            r["m"]["dup_line_char_fraction"],
+            r["m"]["top_ngram_char_fraction"],
+        )
+        for r in docs.select(
+            "doc_id", repetition_metrics(F.col("text"), 2).alias("m")
+        ).collect()
+    }
+    assert out[1][0] == 0.25
+    assert out[1][1] == round(3 / 12, 6)
+    assert out[2][2] == round(6 / 9, 6)
+    assert out[3] == (0.0, 0.0, 0.0)
+    assert out[4][0] == 0.0 and out[4][1] == 0.0
+
+
+def test_curation_repetitive_drop_reason(spark):
+    """Round-4: opt-in repetition caps drop with reason 'repetitive',
+    slotted between low_quality and pii; defaults leave behavior
+    unchanged."""
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    good = "the quick brown fox is happy and it runs to the hill for fun"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " spam ham" * 30),          # top-bigram heavy
+            (3, "the a of to in\nis it for and\n" * 5 + good),  # dup lines
+        ],
+        "doc_id long, text string",
+    )
+    # defaults: no repetition gate, everything kept
+    base = {r["doc_id"]: (r["keep"], r["reason"]) for r in
+            curate_documents(docs, min_tokens=1, max_tokens=10_000,
+                             lang=None, near_dup_threshold=0.99).collect()}
+    assert all(k for k, _ in base.values()), base
+
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in
+           curate_documents(docs, min_tokens=1, max_tokens=10_000, lang=None,
+                            near_dup_threshold=0.99,
+                            max_dup_line_fraction=0.3,
+                            max_top_ngram_char_fraction=0.3).collect()}
+    assert out[1] == (True, "kept")
+    assert out[2] == (False, "repetitive")
+    assert out[3] == (False, "repetitive")
