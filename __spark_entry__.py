@@ -247,6 +247,19 @@ def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(spans, max_tokens=512)
 
 
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: data mixing — fill a 3000-token budget at weights
+    src0:2, src1:1, src2:1 with best-quality-first (n_chars) per-source
+    prefixes; docs from unlisted sources come back keep=False/NULL.
+    Oracle: per-source naive windows with the same budgets."""
+    from json_schema_py_spark.operators.packing import select_mixture
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    return select_mixture(
+        d, 3000, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, quality_col="n_chars"
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents ∪ planted copies (ids +100000)."""
     from json_schema_py_spark.operators.dedup import exact_duplicates
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_packing": q_token_packing,
         "q_token_packing_str": q_token_packing_str,
         "q_token_budget": q_token_budget,
+        "q_mixture": q_mixture,
         "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1119,6 +1133,26 @@ SELECT pack_id::BIGINT AS pack_id, COUNT(*) AS n_docs,
   SUM(LEAST(start_tok + n, (pack_id + 1) * 512)
       - GREATEST(start_tok, pack_id * 512))::BIGINT AS n_tokens
 FROM touched GROUP BY pack_id
+""",
+        # per-source budgets: src0 floor(3000*2/4)=1500, src1/src2 750
+        "q_mixture": f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS nt,
+    n_chars::DOUBLE AS q
+  FROM documents
+), listed AS (
+  SELECT doc_id, source, nt,
+    SUM(nt) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+    CASE source WHEN 'src0' THEN 1500 ELSE 750 END AS budget
+  FROM d WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source, nt::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens,
+  (cum <= budget) AS keep
+FROM listed
+UNION ALL
+SELECT doc_id, source, nt::BIGINT, NULL::BIGINT, FALSE
+FROM d WHERE source NOT IN ('src0', 'src1', 'src2') OR source IS NULL
 """,
         "q_exact_dedup": """
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,

@@ -378,3 +378,68 @@ def _id_fraction(base: DataFrame, id_col: str) -> Column:
         span = (hi - lo) + 1.0
         return (F.col(id_col).cast("double") - F.lit(lo)) / F.lit(span)
     return F.lit(0.0)
+
+
+def select_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    weights: "dict[str, float]",
+    quality_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens, keep) — data MIXING: fill a
+    global token budget with per-source proportions (the "40% web, 30%
+    code, 30% books" primitive). Per source s: budget_s =
+    floor(weight_s / Σweights × total_budget), then the best-quality-first
+    prefix selection of select_to_token_budget runs WITHIN the source
+    (same determinism contract: quality DESC, id ASC; same NULL/NaN/
+    non-castable quality handling). cum_tokens is the within-source
+    running total. Docs from sources NOT in ``weights`` return keep=False
+    with NULL cum — an unlisted source is never silently sampled.
+
+    Scale shape: one select_to_token_budget invocation per source (a
+    driver loop over the mixture spec — mixtures are dozens of sources,
+    not thousands), each internally distributed (two-pass bucketed prefix
+    sum, tie spreading, no global window). The per-source jobs share one
+    persisted tokenized projection at lake scale by pre-counting tokens
+    upstream; here each call projects independently."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    wsum = float(sum(weights.values()))
+
+    listed = docs.where(F.col(source_col).isin(list(weights)))
+    unlisted = docs.where(
+        ~F.col(source_col).isin(list(weights)) | F.col(source_col).isNull()
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.lit(False).alias("keep"),
+    )
+    parts = [unlisted]
+    for s, w in sorted(weights.items()):
+        budget_s = int(total_budget * w / wsum)
+        sel = select_to_token_budget(
+            listed.where(F.col(source_col) == s),
+            budget_s,
+            quality_col,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=num_buckets,
+        )
+        parts.append(sel.select(
+            "doc_id", F.lit(s).alias("source"), "n_tokens", "cum_tokens", "keep"
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -254,3 +254,42 @@ def test_quantile_buckets_balance_skewed_ids(spark):
     sgot = {r["doc_id"]: r["start_tok"] for r in
             assign_token_spans(sdf, 10, num_buckets=4, bucket_mode="quantile").collect()}
     assert sgot == {f"doc-{i:04d}": i * 3 for i in range(50)}
+
+
+def test_select_mixture_per_source_budgets(spark):
+    """Round-4: data mixing — per-source budgets floor(w_s/Σw x total),
+    within-source quality-first prefixes matching the naive window,
+    unlisted sources keep=False/NULL, weight guards enforced."""
+    from json_schema_py_spark.operators.packing import select_mixture
+
+    rows = []
+    for s, n in (("web", 30), ("code", 20), ("junk", 5)):
+        for i in range(n):
+            rows.append((f"{s}{i:03d}", s, float(i % 4), "w " * (4 + i % 3)))
+    df = spark.createDataFrame(rows, "doc_id string, source string, q double, text string")
+    out = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["keep"])
+           for r in select_mixture(df, 100, {"web": 3.0, "code": 1.0}, "q").collect()}
+    assert len(out) == 55
+
+    # junk: unlisted → excluded
+    for i in range(5):
+        assert out[f"junk{i:03d}"] == ("junk", 4 + i % 3, None, False)
+
+    # per-source naive truth: web budget 75, code budget 25
+    for s, budget, n in (("web", 75, 30), ("code", 25, 20)):
+        naive = sorted(
+            ((r[2], r[0], len(r[3].split())) for r in rows if r[1] == s),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cum = 0
+        for q, did, nt in naive:
+            cum += nt
+            assert out[did] == (s, nt, cum, cum <= budget), (did, out[did])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        select_mixture(df, 100, {"web": 0.0}, "q")
+    with _pytest.raises(ValueError, match="at least one"):
+        select_mixture(df, 100, {}, "q")
+    with _pytest.raises(ValueError, match="total_budget"):
+        select_mixture(df, -1, {"web": 1.0}, "q")
