@@ -180,6 +180,26 @@ def run_benchmarks(cpus: int) -> dict:
         ).count()
     )
 
+    # variant dynamic-JSON path (round-4: propertyNames string fast path,
+    # compiled-Column cache, ensure_parallelism — tracks the exact path)
+    from json_schema_py_spark.plans.json_variant import validate_json_variant
+
+    queries["json_variant"] = min_of(
+        lambda: validate_json_variant(
+            ev,
+            "props",
+            {"type": "object", "additionalProperties": {"type": "integer", "minimum": 50}},
+            key_col="event_id",
+        ).count()
+    )
+
+    # int8-quantized top-k (round-4: integer inner product)
+    from json_schema_py_spark.operators.similarity import quantized_topk
+
+    queries["ann_quantized"] = min_of(
+        lambda: quantized_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()
+    )
+
     # count() would prune the simhash column
     queries["simhash"] = min_of(
         lambda: simhash(docs).agg(F.max("simhash")).collect()
