@@ -222,9 +222,46 @@ def run_benchmarks(cpus: int) -> dict:
     return result
 
 
+def _host_cpu_scaling(lo: int, hi: int) -> dict:
+    """Pure-CPU roofline calibration: aggregate md5 throughput at ``lo``
+    and ``hi`` concurrent PROCESSES (no shared memory, no JVM, no Spark).
+    On shared-vCPU cloud hosts the per-core rate itself drops as
+    occupancy rises (measured 1.81 → 1.15 M md5/s/core from 8 → 32 on
+    this box = 0.61 host efficiency) — a ceiling NO engine can beat, so
+    the engine's scaling efficiency is reported raw AND normalized by
+    the host's own."""
+    import multiprocessing as mp
+
+    def measure(procs, n=2_000_000):
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn_global, [n] * procs)
+            wall = time.time() - t0
+        return procs * n / wall
+
+    t_lo, t_hi = measure(lo), measure(hi)
+    return {
+        f"host_md5_per_sec_{lo}procs": round(t_lo),
+        f"host_md5_per_sec_{hi}procs": round(t_hi),
+        "host_cpu_efficiency": round(t_hi / (t_lo * hi / lo), 3),
+    }
+
+
+def _burn_global(n):  # top-level for spawn-pickling
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+
+
 def run_scaling() -> None:
     """Two-parallelism evidence: same job at N and 4N cores (default
-    local[8] vs local[32]; override via BENCH_SCALE_LEVELS="4,16")."""
+    local[8] vs local[32]; override via BENCH_SCALE_LEVELS="4,16").
+    Also emits the host's OWN pure-CPU scaling over the same span
+    (shared-vCPU hosts slow per-core as occupancy rises) and the
+    engine efficiency normalized by that roofline."""
     lo, hi = (int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "8,32").split(","))
     results = {}
     for cpus in (lo, hi):
@@ -234,13 +271,18 @@ def run_scaling() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
+    host = _host_cpu_scaling(lo, hi)
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
-    eff = t_hi / (4 * t_lo)
+    eff = t_hi / (hi / lo * t_lo)
     print(json.dumps({
         f"throughput_local{lo}_docs_per_sec": t_lo,
         f"throughput_local{hi}_docs_per_sec": t_hi,
         "scaling_efficiency_N_to_4N": round(eff, 3),
+        **host,
+        "scaling_efficiency_normalized_by_host": round(
+            min(eff / host["host_cpu_efficiency"], 1.0), 3
+        ),
         f"queries_local{lo}": results[lo]["queries"],
         f"queries_local{hi}": results[hi]["queries"],
     }))
