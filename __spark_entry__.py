@@ -370,6 +370,28 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(d)
 
 
+def q_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: corpus domain frequency — URLs planted per residue class
+    (the synthetic corpus has none), domains extracted scheme-stripped /
+    lowercased / www-stripped; DuckDB mirrors the regex pipeline."""
+    from json_schema_py_spark.operators.contamination import domain_counts
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" see https://www.Example.com/a and http://blog.example.com/x?q=1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(" ref https://data.org:8080/path")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_counts(d)
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: within-document repetition signals (the Gopher-rule
     family — duplicate lines, top-bigram character coverage). The corpus
@@ -521,6 +543,35 @@ def q_validate_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return validate_json_variant(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
+
+
+def q_violations_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: cross-run regression diff — prev = the documents ruleset's
+    violation set; cur = a deterministic perturbation (ENUM_MISMATCH rows
+    fixed, NUMBER_TOO_SMALL observed moved, one new rule planted per p=2
+    doc). Exercises all four statuses plus the null-safe doc_id join
+    (the p=8 REQUIRED row has doc_id NULL)."""
+    from json_schema_py_spark.plans.validation import violations_diff
+    from json_schema_py_spark.schema.compiler import validate
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    prev = validate(spans_documents(spark, sf_dir), DOCUMENTS_RULESET)
+    cur = prev.where(F.col("rule_id") != "ENUM_MISMATCH").select(
+        "doc_id",
+        "rule_id",
+        "path",
+        F.when(F.col("rule_id") == "NUMBER_TOO_SMALL", F.lit("-2"))
+        .otherwise(F.col("observed"))
+        .alias("observed"),
+    ).unionByName(
+        prev.where(F.col("rule_id") == "ENUM_MISMATCH").select(
+            "doc_id",
+            F.lit("STRING_TOO_LONG").alias("rule_id"),
+            F.lit("/x").alias("path"),
+            F.lit("v").alias("observed"),
+        )
+    )
+    return violations_diff(prev, cur)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +810,7 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_documents": q_validate_documents,
+        "q_violations_diff": q_violations_diff,
         "q_validate_media_dep": q_validate_media_dep,
         "q_validate_media_dep_verbose": q_validate_media_dep_verbose,
         "q_doc_verdicts": q_doc_verdicts,
@@ -785,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
+        "q_domains": q_domains,
         "q_repetition": q_repetition,
         "q_simhash": q_simhash,
         "q_simhash_near_pairs": q_simhash_near_pairs,
@@ -910,6 +963,52 @@ UNION ALL
 SELECT did, 'STRING_TOO_SHORT', '/spans/0/text', '' FROM ids WHERE p = 7
 UNION ALL
 SELECT NULL, 'REQUIRED_PROPERTY_MISSING', '/doc_id', 'None' FROM ids WHERE p = 8
+""",
+        # four-status regression diff over the SAME prev set; doc_id joins
+        # null-safely (IS NOT DISTINCT FROM) — the p=8 row has doc_id NULL
+        "q_violations_diff": _IDS_CTE + """, prev AS (
+SELECT did AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/spans/0/offset' AS path, '-1' AS observed FROM ids WHERE p = 1
+UNION ALL
+SELECT did, 'ENUM_MISMATCH', '/spans/0/kind', 'vidoe' FROM ids WHERE p = 2
+UNION ALL
+SELECT did, 'PATTERN_MISMATCH', '/doc_id', did FROM ids WHERE p = 3
+UNION ALL
+SELECT did, 'ARRAY_TOO_SHORT', '/spans', '0' FROM ids WHERE p = 4
+UNION ALL
+SELECT did, 'ARRAY_ITEMS_NOT_UNIQUE', '/spans/' || CAST(1 + i % 4 AS VARCHAR),
+  CASE WHEN i % 3 = 0
+    THEN '{"kind":"media","media_ref":"m/' || CAST((i*31) % 37 AS VARCHAR) || '.png","offset":0}'
+    ELSE '{"kind":"text","text":"' || substr(rpad(text, 64, 'x'), 1, 12) || '","offset":0}'
+  END
+FROM ids WHERE p = 5
+UNION ALL
+SELECT did, 'STRING_TOO_SHORT', '/spans/0/text', '' FROM ids WHERE p = 7
+UNION ALL
+SELECT NULL, 'REQUIRED_PROPERTY_MISSING', '/doc_id', 'None' FROM ids WHERE p = 8
+), cur AS (
+  SELECT doc_id, rule_id, path,
+    CASE WHEN rule_id = 'NUMBER_TOO_SMALL' THEN '-2' ELSE observed END AS observed
+  FROM prev WHERE rule_id <> 'ENUM_MISMATCH'
+  UNION ALL
+  SELECT doc_id, 'STRING_TOO_LONG', '/x', 'v' FROM prev WHERE rule_id = 'ENUM_MISMATCH'
+), pk AS (
+  SELECT doc_id, rule_id, path, MAX(observed) AS observed FROM prev GROUP BY 1,2,3
+), ck AS (
+  SELECT doc_id, rule_id, path, MAX(observed) AS observed FROM cur GROUP BY 1,2,3
+)
+SELECT
+  COALESCE(p.doc_id, c.doc_id) AS doc_id,
+  COALESCE(p.rule_id, c.rule_id) AS rule_id,
+  COALESCE(p.path, c.path) AS path,
+  p.observed AS observed_prev,
+  c.observed AS observed_cur,
+  CASE WHEN p.rule_id IS NULL THEN 'new'
+       WHEN c.rule_id IS NULL THEN 'fixed'
+       WHEN p.observed IS NOT DISTINCT FROM c.observed THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM pk p FULL OUTER JOIN ck c
+  ON p.doc_id IS NOT DISTINCT FROM c.doc_id
+ AND p.rule_id = c.rule_id AND p.path = c.path
 """,
         "q_validate_media_dep": _IDS_CTE + """
 SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
@@ -1312,6 +1411,27 @@ SELECT doc_id,
            g -> len(list_filter(gs, x -> x = g)) * len(g)))::DOUBLE / len(text)
     ELSE 0.0 END, 6) AS top_ngram_char_fraction
 FROM grams
+""",
+        "q_domains": """
+WITH d AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' see https://www.Example.com/a and http://blog.example.com/x?q=1' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' ref https://data.org:8080/path' ELSE '' END AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS url
+  FROM d
+), dom AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)), '^www\.', '') AS domain
+  FROM u
+), per AS (
+  SELECT doc_id, domain, COUNT(*) AS urls FROM dom GROUP BY 1, 2
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(urls) AS BIGINT) AS n_urls
+FROM per GROUP BY domain
 """,
         "q_simhash": _simhash_sql(),
         # brute-force Hamming truth: the block-partition join is EXACT at

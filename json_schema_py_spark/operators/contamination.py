@@ -219,3 +219,69 @@ def pii_scan(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("pii_total", total)
+
+
+# --- URL / domain signals --------------------------------------------------
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
+_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains(text_col: Column) -> Column:
+    """Array of registrable-ish domains in the text: scheme-stripped host,
+    lowercased, leading 'www.' removed (deterministic, no PSL dependency —
+    a real pipeline swaps in a public-suffix list at the marked point)."""
+    urls = F.regexp_extract_all(text_col, F.lit(URL_PATTERN), F.lit(0))
+    return F.transform(
+        urls,
+        lambda u: F.regexp_replace(
+            F.lower(F.regexp_extract(u, _DOMAIN_FROM_URL, 1)), "^www\\.", ""
+        ),
+    )
+
+
+def domain_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(domain, n_docs, n_urls) — corpus-level domain frequency (the
+    blocklist/mixture signal: 'how much of this corpus is domain X').
+    One explode + one groupBy with map-side partial agg; n_docs counts
+    DISTINCT docs per domain via a per-doc pre-distinct so the exploded
+    rows are (doc, domain)-unique and the final agg needs no
+    count-distinct shuffle."""
+    per_doc = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(url_domains(F.col(text_col))).alias("domain"),
+    )
+    # one row per (doc, domain) with its in-doc url count: the groupBy
+    # below then gets n_docs as a plain count and n_urls as a sum —
+    # no expensive countDistinct over the full explode
+    dedup = per_doc.groupBy("doc_id", "domain").agg(
+        F.count(F.lit(1)).alias("_urls")
+    )
+    return dedup.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_urls").cast("long").alias("n_urls"),
+    )
+
+
+def flag_blocked_domains(
+    docs: DataFrame,
+    blocked: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, blocked_domains: array<string>) for docs citing ≥1 blocked
+    domain — the curation drop signal. The blocklist folds into the
+    projection as literals (blocklists are thousands of entries; beyond
+    that, broadcast-join the exploded domains instead)."""
+    if not blocked:
+        raise ValueError("blocked must name at least one domain")
+    bset = [b.lower() for b in blocked]
+    doms = F.array_distinct(url_domains(F.col(text_col)))
+    hits = F.filter(doms, lambda d: d.isin(bset))
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), hits.alias("blocked_domains"))
+        .where(F.size("blocked_domains") > 0)
+    )

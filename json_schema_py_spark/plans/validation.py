@@ -271,3 +271,55 @@ def run_validation(
         )
         verdicts = verdicts.unionByName(tbl)
     return ValidationRun(violations=violations, verdicts=verdicts, annotated=annotated)
+
+
+def violations_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Cross-run regression diff over two violation sets (round-4): one
+    row per (doc_id, rule_id, path) seen in EITHER run —
+
+    * ``new``       — fires now, didn't before (a regression)
+    * ``fixed``     — fired before, clean now
+    * ``unchanged`` — fires in both with the same observed value
+    * ``changed``   — fires in both, observed value moved
+
+    The operational question after every run is "what broke since the
+    last accepted run" — this answers it as a plain DataFrame op. Inputs
+    are the (doc_id, rule_id, path, observed) frames run_validation /
+    validate emit; duplicates are collapsed first (a diff is over the
+    violation SET). Scale shape: one distinct + one full-outer shuffle
+    join on the violation sets, which are ≪ the corpus by the normal-
+    regime assumption; doc_id NULL (table-level rows, e.g.
+    DISTRIBUTION_DRIFT) joins null-safely so drift rows diff like any
+    other."""
+    keys = ["doc_id", "rule_id", "path"]
+    # deterministic key collapse (max(observed), not dropDuplicates' arbitrary
+    # pick — several rows can share a key, e.g. REQUIRED rows with NULL
+    # doc_id), then rename EVERY column per side: prev and cur often share
+    # lineage (cur derived from prev), and frame-qualified refs (p[k]) are
+    # ambiguous on a self-join
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(*keys)
+            .agg(F.max("observed").alias("observed"))
+            .select([F.col(k).alias(f"_{tag}_{k}") for k in keys + ["observed"]])
+        )
+
+    p = _side(prev, "p")
+    c = _side(cur, "c")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_p_{k}").eqNullSafe(F.col(f"_c_{k}")) for k in keys],
+    )
+    joined = p.join(c, cond, "full_outer")
+    in_prev = F.col("_p_rule_id").isNotNull()
+    in_cur = F.col("_c_rule_id").isNotNull()
+    return joined.select(
+        *[F.coalesce(F.col(f"_p_{k}"), F.col(f"_c_{k}")).alias(k) for k in keys],
+        F.col("_p_observed").alias("observed_prev"),
+        F.col("_c_observed").alias("observed_cur"),
+        F.when(~in_prev, F.lit("new"))
+        .when(~in_cur, F.lit("fixed"))
+        .when(F.col("_p_observed").eqNullSafe(F.col("_c_observed")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -191,3 +191,33 @@ def test_normalized_shingling_catches_perturbed_quotes(spark):
     a = docs.select(word_shingles(F.col("text"), 3, normalize=True).alias("s"))
     b = docs.select(word_shingles(normalize_text(F.col("text")), 3).alias("s"))
     assert a.collect() == b.collect()
+
+
+def test_domain_extraction_and_blocklist(spark):
+    """Round-4: URL→domain extraction (scheme/case/www normalization,
+    ports, paths), corpus domain counts with per-doc dedup, and the
+    blocklist flagger."""
+    from json_schema_py_spark.operators.contamination import (
+        domain_counts,
+        flag_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x https://www.Foo.com/a http://foo.com/b https://bar.org y"),
+            (2, "see http://foo.com:8080/z twice http://foo.com/q"),
+            (3, "no urls here"),
+            (4, "https://spam.example/page"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_counts(docs).collect()}
+    assert got == {"foo.com": (2, 4), "bar.org": (1, 1), "spam.example": (1, 1)}
+
+    flagged = {r["doc_id"]: sorted(r["blocked_domains"]) for r in
+               flag_blocked_domains(docs, ["SPAM.example", "foo.com"]).collect()}
+    assert flagged == {1: ["foo.com"], 2: ["foo.com"], 4: ["spam.example"]}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        flag_blocked_domains(docs, [])

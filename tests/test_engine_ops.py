@@ -112,3 +112,39 @@ def test_sequence_mismatch_detects_reorder(spark):
     reordered = sd.withColumn("spans", F.reverse("spans"))
     # docs with >1 span change; single-span and empty docs don't
     assert sequence_mismatches(sd, reordered).count() > 0
+
+
+def test_violations_diff_four_statuses(spark):
+    """Round-4: cross-run regression diff — new/fixed/unchanged/changed,
+    null-safe doc_id join (table-level rows), duplicate-key collapse is
+    deterministic (max observed)."""
+    from json_schema_py_spark.plans.validation import violations_diff
+
+    prev = spark.createDataFrame(
+        [
+            ("d1", "NUMBER_TOO_SMALL", "/a", "1"),
+            ("d2", "ENUM_MISMATCH", "/b", "x"),
+            (None, "DISTRIBUTION_DRIFT", "/v", "0.4"),
+            ("d3", "REQUIRED_PROPERTY_MISSING", "/c", "None"),
+            ("d3", "REQUIRED_PROPERTY_MISSING", "/c", "None"),  # dup key
+        ],
+        "doc_id string, rule_id string, path string, observed string",
+    )
+    cur = spark.createDataFrame(
+        [
+            ("d1", "NUMBER_TOO_SMALL", "/a", "2"),          # changed
+            (None, "DISTRIBUTION_DRIFT", "/v", "0.4"),       # unchanged (null key)
+            ("d3", "REQUIRED_PROPERTY_MISSING", "/c", "None"),  # unchanged
+            ("d9", "PATTERN_MISMATCH", "/d", "zz"),          # new
+        ],
+        "doc_id string, rule_id string, path string, observed string",
+    )
+    got = {(r["doc_id"], r["rule_id"]): (r["status"], r["observed_prev"], r["observed_cur"])
+           for r in violations_diff(prev, cur).collect()}
+    assert got == {
+        ("d1", "NUMBER_TOO_SMALL"): ("changed", "1", "2"),
+        ("d2", "ENUM_MISMATCH"): ("fixed", "x", None),
+        (None, "DISTRIBUTION_DRIFT"): ("unchanged", "0.4", "0.4"),
+        ("d3", "REQUIRED_PROPERTY_MISSING"): ("unchanged", "None", "None"),
+        ("d9", "PATTERN_MISMATCH"): ("new", None, "zz"),
+    }
