@@ -1421,11 +1421,11 @@ WITH d AS (
   FROM documents
 ), u AS (
   SELECT doc_id,
-    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS url
+    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?::[0-9]+)?(?:/[^\s]*)?')) AS url
   FROM d
 ), dom AS (
   SELECT doc_id,
-    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)), '^www\.', '') AS domain
+    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)), '^www\.', '') AS domain
   FROM u
 ), per AS (
   SELECT doc_id, domain, COUNT(*) AS urls FROM dom GROUP BY 1, 2

@@ -236,30 +236,43 @@ def repetition_metrics(col: Column, ngram_n: int = 2, round_to: int = 6) -> Colu
                                ngram_n-gram / total chars
 
     All pure JVM sort+fold expressions, each with an exact DuckDB mirror
-    (multiplicities via list folds)."""
-    lines = text_lines(col)
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-    )
-    dup_lines = n_lines - F.size(F.array_distinct(lines))
-    grams = word_ngrams(col, ngram_n)
+    (multiplicities via list folds). The lines and grams arrays are each
+    referenced several times below, so both are bound ONCE as lambda
+    variables (the module's no-CSE doctrine — review r04: the inline form
+    re-split every document ~4x and re-tokenized it 2x per row)."""
     n_chars = F.length(col)
-    return F.struct(
-        F.round(
-            F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0)), round_to
-        ).alias("dup_line_fraction"),
-        F.round(
-            F.when(line_chars > 0, _dup_char_sum(lines) / line_chars).otherwise(
-                F.lit(0.0)
-            ),
-            round_to,
-        ).alias("dup_line_char_fraction"),
-        F.round(
-            F.when(
-                (n_chars > 0) & (F.size(grams) > 0),
-                _max_run_char_coverage(grams) / n_chars,
-            ).otherwise(F.lit(0.0)),
-            round_to,
-        ).alias("top_ngram_char_fraction"),
+
+    def with_bound(lines: Column, grams: Column) -> Column:
+        n_lines = F.size(lines)
+        line_chars = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        dup_lines = n_lines - F.size(F.array_distinct(lines))
+        return F.struct(
+            F.round(
+                F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("dup_line_fraction"),
+            F.round(
+                F.when(line_chars > 0, _dup_char_sum(lines) / line_chars).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias("dup_line_char_fraction"),
+            F.round(
+                F.when(
+                    (n_chars > 0) & (F.size(grams) > 0),
+                    _max_run_char_coverage(grams) / n_chars,
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("top_ngram_char_fraction"),
+        )
+
+    return F.get(
+        F.zip_with(
+            F.array(text_lines(col)),
+            F.array(word_ngrams(col, ngram_n)),
+            with_bound,
+        ),
+        0,
     )

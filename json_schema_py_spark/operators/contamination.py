@@ -223,8 +223,14 @@ def pii_scan(
 
 # --- URL / domain signals --------------------------------------------------
 
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
-_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+# host = dot-separated labels; a label never starts/ends with '.', so a
+# sentence-final period after the URL is NOT swallowed into the domain
+# ("https://spam.example. Next" → spam.example, not spam.example.) —
+# review r04: the trailing dot split domain_counts buckets and defeated
+# blocklist matches on prose corpora
+_HOST = r"[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*"
+URL_PATTERN = rf"https?://{_HOST}(?::[0-9]+)?(?:/[^\s]*)?"
+_DOMAIN_FROM_URL = rf"https?://({_HOST})"
 
 
 def url_domains(text_col: Column) -> Column:

@@ -903,13 +903,10 @@ def validate_json_variant(
     # compiler's cache machinery.
     from json_schema_py_spark.schema import compiler as _C
 
-    ckey = _C._compile_cache_key(schema, T.StructType([T.StructField(json_col, T.StringType())]), "variant")
-    violations = _C._COMPILE_CACHE.get(ckey) if ckey is not None else None
-    if violations is None and ckey is not None:
-        violations = _C._disk_cache_load(ckey)
-        if violations is not None:
-            _C._COMPILE_CACHE[ckey] = violations
-    if violations is None:
+    vstruct = T.StructType([T.StructField(json_col, T.StringType())])
+    ckey = _C._compile_cache_key(schema, vstruct, "variant")
+
+    def build() -> Column:
         rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
         binder = VariantBinder()
         viol, fires = binder.bind(rule)
@@ -921,7 +918,7 @@ def validate_json_variant(
         # / body), tripling the parse cost (expressions have no CSE; measured
         # ~10% of the pipeline, round-3 perf lift).
         parsed = F.try_parse_json(F.coalesce(F.col(json_col), F.lit("null")))
-        violations = F.get(
+        return F.get(
             F.transform(
                 F.array(parsed),
                 lambda v: F.when(
@@ -944,15 +941,8 @@ def validate_json_variant(
             ),
             0,
         )
-        if ckey is not None:
-            if len(_C._COMPILE_CACHE) >= _C._COMPILE_CACHE_MAX:
-                _C._COMPILE_CACHE.clear()
-            _C._COMPILE_CACHE[ckey] = violations
-            _C._disk_cache_store(
-                ckey,
-                violations,
-                T.StructType([T.StructField(json_col, T.StringType())]),
-            )
+
+    violations = _C._cached_compile(ckey, vstruct, build)
     # ensure_parallelism REINSTATED (round-4): the round-3 "AQE re-coalesces
     # anyway" claim was re-measured and does NOT hold for this path — the
     # heavy projection fuses into the SCAN stage (2 splits on a compacted

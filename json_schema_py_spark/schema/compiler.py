@@ -1138,7 +1138,10 @@ _ENGINE_SOURCE_HASH: Optional[str] = None
 def _engine_source_hash() -> str:
     """Hash of the source files that determine compiled output — a code
     change invalidates every disk entry (the content key alone would keep
-    serving trees compiled by OLDER engine code)."""
+    serving trees compiled by OLDER engine code). Covers every producer
+    that stores through this cache: the static binder's inputs AND the
+    variant binder (plans/json_variant.py caches its compiled Column here
+    too — review r04) plus the error-code vocabulary."""
     global _ENGINE_SOURCE_HASH
     if _ENGINE_SOURCE_HASH is None:
         import hashlib
@@ -1146,11 +1149,18 @@ def _engine_source_hash() -> str:
 
         h = hashlib.sha256()
         here = Path(__file__).parent
-        for name in ("compiler.py", "model.py", "regex_dialect.py"):
+        pkg = here.parent
+        for path in (
+            here / "compiler.py",
+            here / "model.py",
+            here / "regex_dialect.py",
+            pkg / "errors.py",
+            pkg / "plans" / "json_variant.py",
+        ):
             try:
-                h.update((here / name).read_bytes())
+                h.update(path.read_bytes())
             except OSError:
-                h.update(name.encode())
+                h.update(path.name.encode())
         _ENGINE_SOURCE_HASH = h.hexdigest()[:16]
     return _ENGINE_SOURCE_HASH
 
@@ -1202,14 +1212,25 @@ def _disk_cache_load(key: tuple) -> Optional[Column]:
         spark = _classic_jvm_session()
         if spark is None:
             return None
-        from pyspark.sql.classic.column import Column as _ClassicColumn
-
-        jexpr = spark._jvm.org.apache.spark.util.Utils.deserialize(path.read_bytes())
-        jc = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jexpr)
-        return _ClassicColumn(jc)
-    except Exception:
+        # Spark-4 classic APIs; unavailable (e.g. pyspark 3.x, Connect) →
+        # plain miss, and NEVER unlink — deleting a valid entry on an
+        # environment limitation would turn the cache into a store/delete
+        # churn loop (review r04)
         try:
-            path.unlink(missing_ok=True)  # corrupt/incompatible entry
+            from pyspark.sql.classic.column import Column as _ClassicColumn
+
+            eu = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils
+        except Exception:
+            return None
+    except Exception:
+        return None
+    try:
+        jexpr = spark._jvm.org.apache.spark.util.Utils.deserialize(path.read_bytes())
+        return _ClassicColumn(eu.column(jexpr))
+    except Exception:
+        # only a genuine read/deserialize failure marks the entry corrupt
+        try:
+            path.unlink(missing_ok=True)
         except Exception:
             pass
         return None
@@ -1235,6 +1256,31 @@ def _disk_cache_store(key: tuple, col: Column, struct_type: T.StructType) -> Non
         tmp.replace(path)  # atomic vs concurrent writers
     except Exception:
         return
+
+
+def _cached_compile(
+    key: Optional[tuple], struct_type: T.StructType, build: Callable[[], Column]
+) -> Column:
+    """ONE memory→disk→build→store dance for every compiled-Column
+    producer (compile_ruleset, compile_fires, the variant binder) — three
+    hand-copies had already drifted on the eviction guard (review r04)."""
+    if key is not None:
+        cached = _COMPILE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        disk = _disk_cache_load(key)
+        if disk is not None:
+            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+                _COMPILE_CACHE.clear()
+            _COMPILE_CACHE[key] = disk
+            return disk
+    col = build()
+    if key is not None:
+        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE.clear()
+        _COMPILE_CACHE[key] = col
+        _disk_cache_store(key, col, struct_type)
+    return col
 
 
 def _compile_cache_key(schema: Any, struct_type: T.StructType, mode: str) -> Optional[tuple]:
@@ -1269,60 +1315,36 @@ def compile_ruleset(
     10^12 scale) never allocate a struct, a path string, or an array. The row
     is bound as a lambda variable so derived input columns are evaluated once."""
     key = _compile_cache_key(schema, struct_type, f"viol:{verbose}")
-    cached = _COMPILE_CACHE.get(key) if key is not None else None
-    if cached is not None:
-        return cached
-    if key is not None:
-        disk = _disk_cache_load(key)
-        if disk is not None:
-            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
-                _COMPILE_CACHE.clear()
-            _COMPILE_CACHE[key] = disk
-            return disk
-    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
-    bound = RuleBinder(verbose=verbose).bind(rule, struct_type)
-    root = F.struct(*[F.col(f.name) for f in struct_type.fields])
-    col = F.get(
-        F.transform(
-            F.array(root),
-            lambda row: F.when(bound.fires(row), bound.viol(row, F.lit(""))).otherwise(
-                _empty()
+
+    def build() -> Column:
+        rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+        bound = RuleBinder(verbose=verbose).bind(rule, struct_type)
+        root = F.struct(*[F.col(f.name) for f in struct_type.fields])
+        return F.get(
+            F.transform(
+                F.array(root),
+                lambda row: F.when(
+                    bound.fires(row), bound.viol(row, F.lit(""))
+                ).otherwise(_empty()),
             ),
-        ),
-        0,
-    )
-    if key is not None:
-        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
-            _COMPILE_CACHE.clear()
-        _COMPILE_CACHE[key] = col
-        _disk_cache_store(key, col, struct_type)
-    return col
+            0,
+        )
+
+    return _cached_compile(key, struct_type, build)
 
 
 def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
     """Just the boolean fast path: does ANY rule fire for the row? Useful for
     pass/fail filtering and partition verdicts without violation details."""
     key = _compile_cache_key(schema, struct_type, "fires")
-    cached = _COMPILE_CACHE.get(key) if key is not None else None
-    if cached is not None:
-        return cached
-    if key is not None:
-        disk = _disk_cache_load(key)
-        if disk is not None:
-            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
-                _COMPILE_CACHE.clear()
-            _COMPILE_CACHE[key] = disk
-            return disk
-    rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
-    bound = RuleBinder().bind(rule, struct_type)
-    root = F.struct(*[F.col(f.name) for f in struct_type.fields])
-    col = F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
-    if key is not None:
-        if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
-            _COMPILE_CACHE.clear()
-        _COMPILE_CACHE[key] = col
-        _disk_cache_store(key, col, struct_type)
-    return col
+
+    def build() -> Column:
+        rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+        bound = RuleBinder().bind(rule, struct_type)
+        root = F.struct(*[F.col(f.name) for f in struct_type.fields])
+        return F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
+
+    return _cached_compile(key, struct_type, build)
 
 
 def with_violations(
