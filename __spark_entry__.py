@@ -789,6 +789,54 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: REAL audio decode gate — deterministic PCM16 WAVs (integer
+    sawtooth s_i = (i*(seed+3)) % 4096 - 2048) are generated, containerized
+    as RIFF, and decoded by the numpy WAV parser; the oracle recomputes
+    every feature CLOSED-FORM over range(n) in SQL (mean/rms/peak/zero-
+    crossings/population std). Decoder proven against independent math,
+    the q_media_ppm doctrine extended to audio."""
+    from json_schema_py_spark.functions.text import stable_hash64
+    from json_schema_py_spark.operators.multimodal import (
+        extract_media_features,
+        make_wav,
+    )
+
+    ref = F.concat(F.lit("a/"), F.col("id").cast("string"))
+    media = spark.range(29).select(
+        ref.alias("media_ref"),
+        F.lit("audio/wav").alias("mime"),
+        (F.pmod(stable_hash64(ref, seed="n"), F.lit(400)) + 50).cast("int").alias("n"),
+        (F.pmod(stable_hash64(ref, seed="r"), F.lit(3)) * 8000 + 8000).cast("int").alias("sr"),
+        F.pmod(stable_hash64(ref, seed="s"), F.lit(97)).cast("int").alias("seed"),
+    )
+
+    import pyspark.sql.types as T
+
+    def gen(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                bytearray(make_wav(int(n), int(sr), int(s)))
+                for n, sr, s in zip(pdf["n"], pdf["sr"], pdf["seed"])
+            ]
+            yield pdf[["media_ref", "mime", "payload"]]
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    with_payload = media.mapInPandas(gen, gen_schema)
+    feats = extract_media_features(with_payload, decode="wav")
+    return feats.select(
+        "media_ref",
+        *[F.round(F.get(F.col("features"), i), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition pass/fail rollup on a DURABLE partition key
     (src_id % 16 — content-derived, layout-independent), so DuckDB can
@@ -834,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_media_ppm": q_media_ppm,
+        "q_media_wav": q_media_wav,
         "q_contamination": q_contamination,
         "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
@@ -1488,6 +1537,37 @@ s AS (
   FROM s
 )
 SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+""",
+        # closed-form audio math: sawtooth s_i = (i*(seed+3))%4096-2048
+        # regenerated per media_ref over range(n); features recomputed with
+        # SQL aggregates (population std, strict sign-flip crossings)
+        "q_media_wav": """
+WITH m AS (
+  SELECT 'a/' || CAST(i AS VARCHAR) AS media_ref,
+    (('0x' || substr(md5('n|' || 'a/' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 400) + 50 AS n,
+    (('0x' || substr(md5('r|' || 'a/' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 3) * 8000 + 8000 AS sr,
+    ('0x' || substr(md5('s|' || 'a/' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 97 AS seed
+  FROM range(29) t(i)
+), s AS (
+  SELECT media_ref, n, sr, i.i AS idx,
+    ((i.i * (seed + 3)) % 4096 - 2048) AS sv
+  FROM m, range(450) i(i) WHERE i.i < m.n
+), x AS (
+  SELECT media_ref, n, sr, idx, sv, sv / 32768.0 AS xv,
+    lead(sv) OVER (PARTITION BY media_ref ORDER BY idx) AS nxt
+  FROM s
+)
+SELECT media_ref,
+  ROUND(MAX(sr)::DOUBLE, 6) AS f0,
+  ROUND(MAX(n)::DOUBLE, 6) AS f1,
+  ROUND(MAX(n)::DOUBLE / MAX(sr), 6) AS f2,
+  ROUND(AVG(xv), 6) AS f3,
+  ROUND(sqrt(AVG(xv * xv)), 6) AS f4,
+  ROUND(MAX(abs(xv)), 6) AS f5,
+  ROUND(SUM(CASE WHEN nxt IS NOT NULL AND sv * nxt < 0 THEN 1 ELSE 0 END)::DOUBLE
+        / (MAX(n) - 1), 6) AS f6,
+  ROUND(stddev_pop(xv), 6) AS f7
+FROM x GROUP BY media_ref
 """,
         # durable partition key (src_id % 16): every verdict row is
         # layout-independent and recomputable — planted classes 1-5,7,8

@@ -149,16 +149,23 @@ def extract_media_features(media_with_payload: DataFrame, decode: str = "fake") 
     stub."""
     if decode == "real":
         raise NotImplementedError(
-            "JPEG/PNG/audio decode needs libs not present in this "
-            "container; decode='ppm' is the real-decoder reference "
-            "implementation — swap PIL in at _ppm_decode_features' seam"
+            "JPEG/PNG/compressed-audio decode needs libs not present in "
+            "this container; decode='ppm' (images) and decode='wav' "
+            "(PCM16 audio) are the real-decoder reference implementations "
+            "— swap PIL/torchaudio in at their _*_decode_features seams"
         )
-    if decode not in ("ppm", "fake"):
+    if decode not in ("ppm", "wav", "fake"):
         # never silently fall back to the fake decoder: a typo ('PPM',
         # 'p6') would return plausible md5 pseudo-features with no signal
         # (review r03)
-        raise ValueError(f"decode must be 'ppm', 'fake', or 'real', got {decode!r}")
-    decoder = _ppm_decode_features if decode == "ppm" else _fake_decode_features
+        raise ValueError(
+            f"decode must be 'ppm', 'wav', 'fake', or 'real', got {decode!r}"
+        )
+    decoder = {
+        "ppm": _ppm_decode_features,
+        "wav": _wav_decode_features,
+        "fake": _fake_decode_features,
+    }[decode]
 
     out_schema = T.StructType(
         [
@@ -256,3 +263,88 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# --- audio: real WAV/PCM16 decode (round 4) -------------------------------
+
+
+def _parse_wav(payload: bytes):
+    """RIFF/WAVE PCM16 → (sample_rate, mono int16 ndarray), or None for
+    anything malformed/truncated/unsupported (only uncompressed PCM,
+    16-bit; multi-channel takes channel 0). Chunk-walks the RIFF
+    container per the format spec — same doctrine as _parse_p6: a real
+    decoder for a real format, numpy-only."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            return None  # truncated chunk
+        if cid == b"fmt " and csize >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1 or sample_rate <= 0:
+        return None
+    n = len(data) // (2 * channels)
+    if n == 0:
+        return None
+    samples = np.frombuffer(data[: n * 2 * channels], dtype="<i2")
+    if channels > 1:
+        samples = samples[::channels]  # channel 0
+    return sample_rate, samples
+
+
+def _wav_decode_features(payload: bytes):
+    """REAL audio features from a PCM16 WAV payload: [sample_rate,
+    n_samples, duration_sec, mean, rms, peak, zero_crossing_rate, std]
+    over samples normalized to [-1, 1) (÷32768). Zero crossings are
+    STRICT sign flips (s_i·s_{i+1} < 0), rate over n-1 adjacent pairs.
+    None for undecodable payloads."""
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        return None
+    sr, s = parsed
+    x = s.astype("float64") / 32768.0
+    n = x.size
+    zc = float(((x[:-1] * x[1:]) < 0).sum() / (n - 1)) if n > 1 else 0.0
+    return [
+        float(sr),
+        float(n),
+        float(n / sr),
+        float(x.mean()),
+        float((x**2).mean() ** 0.5),
+        float(abs(x).max()),
+        zc,
+        float(x.std()),
+    ]
+
+
+def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    """Deterministic REAL PCM16 WAV: an integer sawtooth
+    s_i = ((i·(seed+3)) mod 4096) − 2048 — closed-form enough that a SQL
+    oracle recomputes every feature from (n, sr, seed) without touching
+    the decoder (the q_media_ppm independence doctrine)."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((i * (seed + 3)) % 4096 - 2048).astype("<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -524,3 +524,57 @@ def test_combined_signatures_bit_identical_and_single_pass(spark):
     n_min = minhash_signatures(docs)._jdf.queryExecution().optimizedPlan().toString().count("md5")
     n_sim = simhash(docs)._jdf.queryExecution().optimizedPlan().toString().count("md5")
     assert n_comb == n_min + n_sim, (n_comb, n_min, n_sim)
+
+
+def test_wav_real_decode_and_guards(spark):
+    """Round-4: the numpy WAV/PCM16 decoder — hand-checked features on a
+    tiny known waveform, channel-0 extraction on stereo, word-aligned
+    chunk walking, and NULL (never task failure) on malformed payloads."""
+    import struct
+
+    from json_schema_py_spark.operators.multimodal import (
+        _parse_wav,
+        _wav_decode_features,
+        extract_media_features,
+        make_wav,
+    )
+
+    # known waveform: [16384, -16384, 16384, -16384] at 8000 Hz
+    s = struct.pack("<4h", 16384, -16384, 16384, -16384)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(s)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(s)) + s)
+    f = _wav_decode_features(wav)
+    assert f[0] == 8000.0 and f[1] == 4.0 and f[2] == 4 / 8000
+    assert f[3] == 0.0 and f[4] == 0.5 and f[5] == 0.5
+    assert f[6] == 1.0  # every adjacent pair flips sign
+    assert f[7] == 0.5  # population std
+
+    # stereo: channel 0 is all 1000s, channel 1 junk — decoder takes ch 0
+    st = struct.pack("<6h", 1000, -9999, 1000, 7777, 1000, -1)
+    sfmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    swav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(sfmt) + 8 + len(st)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(sfmt)) + sfmt
+            + b"data" + struct.pack("<I", len(st)) + st)
+    sr, ch0 = _parse_wav(swav)
+    assert sr == 8000 and list(ch0) == [1000, 1000, 1000]
+
+    # guards: every malformed payload decodes to None
+    bad = [
+        b"", b"RIFF", b"RIFFxxxxWAVE",                      # truncated headers
+        b"RIFX" + wav[4:],                                   # wrong magic
+        wav[:40],                                            # truncated data chunk
+        wav.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1),  # float fmt
+    ]
+    for payload in bad:
+        assert _wav_decode_features(payload) is None, payload[:16]
+
+    # through the Spark plumbing: good + bad payloads in one batch
+    rows = [("a/0", "audio/wav", bytearray(make_wav(100, 16000, 5))),
+            ("a/1", "audio/wav", bytearray(b"not a wav"))]
+    df = spark.createDataFrame(rows, "media_ref string, mime string, payload binary")
+    got = {r["media_ref"]: r["features"] for r in
+           extract_media_features(df, decode="wav").collect()}
+    assert got["a/1"] is None
+    assert got["a/0"][0] == 16000.0 and got["a/0"][1] == 100.0
