@@ -837,6 +837,21 @@ def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: count-min sketch over the corpus token stream as a TABLE
+    (depth 3 x width 64). The sketch STRUCTURE is exactly verifiable even
+    though its estimates are approximate: every (row, bucket) count is
+    recomputed by DuckDB with the identical seeded md5 hash. Estimate
+    contracts (est >= true count, bounded overestimate) are pinned in
+    tests/test_engine_ops.py."""
+    from json_schema_py_spark.operators.stats import cms_table
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return cms_table(toks, "tok", width=64, depth=3)
+
+
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition pass/fail rollup on a DURABLE partition key
     (src_id % 16 — content-derived, layout-independent), so DuckDB can
@@ -903,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_out_of_order": q_out_of_order,
         # approximate ops, gated via error-bound / recall-bound oracles:
         "q_sketches": q_sketches,
+        "q_cms_tokens": q_cms_tokens,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
@@ -1568,6 +1584,18 @@ SELECT media_ref,
         / (MAX(n) - 1), 6) AS f6,
   ROUND(stddev_pop(xv), 6) AS f7
 FROM x GROUP BY media_ref
+""",
+        # exact bucket recomputation with the identical seeded md5 hash
+        "q_cms_tokens": f"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), rb AS (
+  SELECT r.r AS row, ('0x' || substr(md5('cms' || r.r || '|' || tok), 1, 15))::BIGINT % 64 AS bucket
+  FROM t, range(3) r(r)
+)
+SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM rb GROUP BY 1, 2
 """,
         # durable partition key (src_id % 16): every verdict row is
         # layout-independent and recomputable — planted classes 1-5,7,8

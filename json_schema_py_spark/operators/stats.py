@@ -112,3 +112,87 @@ def column_stats(
         )
 
     return agg.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+# --- count-min sketch (frequency estimation at 10^12 scale) ---------------
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """(row, bucket, cnt) — a count-min sketch as a TABLE: depth
+    independent hash rows, each a width-bucket histogram of the column's
+    values. estimate(v) = min over rows of cnt[row][h_row(v)] ≥ true
+    count, with overestimate ≤ e·N/width at 1−(1/e)^depth confidence.
+
+    Scale shape: depth parallel bucket ids per value in ONE projection
+    (explode over a depth-literal array), then ONE groupBy((row, bucket))
+    — map-side combinable, output bounded at depth×width rows no matter
+    the input size. The sketch MERGES by adding tables (union + re-agg),
+    which is what a streaming/partitioned rollup needs. Hashing is the
+    engine's md5-prefix stable_hash64 (seeded per row), so a DuckDB
+    oracle recomputes every bucket count EXACTLY — the structure is
+    exactly verifiable even though estimates are approximate."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    from json_schema_py_spark.functions.text import stable_hash64
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                F.pmod(
+                    stable_hash64(F.col(col).cast("string"), seed=f"cms{d}"),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    cms: DataFrame,
+    queries: DataFrame,
+    query_col: str = "value",
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """(value, est) — point-frequency estimates for a SMALL query set
+    against a cms_table sketch: min over depth rows of the matching
+    bucket count (absent bucket = 0). The query side broadcasts; the
+    sketch (depth×width rows) is the other broadcast — nothing large
+    shuffles. width/depth MUST match the sketch's."""
+    from json_schema_py_spark.functions.text import stable_hash64
+
+    q = queries.select(F.col(query_col).alias("value")).distinct()
+    keyed = q.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(
+                            stable_hash64(F.col("value").cast("string"), seed=f"cms{d}"),
+                            F.lit(width),
+                        ).cast("int").alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("value", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = keyed.join(F.broadcast(cms), ["row", "bucket"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("value").agg(F.min("cnt").cast("long").alias("est"))

@@ -148,3 +148,46 @@ def test_violations_diff_four_statuses(spark):
         ("d3", "REQUIRED_PROPERTY_MISSING"): ("unchanged", "None", "None"),
         ("d9", "PATTERN_MISMATCH"): ("new", None, "zz"),
     }
+
+
+def test_cms_estimate_contracts(spark):
+    """Round-4: count-min sketch — est(v) >= true count always (min of
+    per-row counts, each an overcount), overestimate bounded in practice,
+    unseen values estimate small (collision mass only), sketches MERGE by
+    union + re-agg, and guards reject degenerate shapes."""
+    import pytest as _pytest
+
+    from json_schema_py_spark.operators.stats import cms_estimates, cms_table
+
+    rows = [(f"tok{i % 37}",) for i in range(2000)]
+    rows += [("hot",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    true = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+
+    cms = cms_table(df, "v", width=64, depth=3).cache()
+    qs = spark.createDataFrame([(v,) for v in true] + [("never-seen",)], "value string")
+    est = {r["value"]: r["est"] for r in
+           cms_estimates(cms, qs, width=64, depth=3).collect()}
+
+    n = sum(true.values())
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)           # never undercounts
+        assert est[v] <= t + (2.72 * n) / 64 + 1, v  # e*N/width envelope
+    assert est["hot"] >= 500
+    assert est["never-seen"] <= (2.72 * n) / 64 + 1  # collision mass only
+
+    # merge = union + re-agg equals the sketch of the whole
+    a = spark.createDataFrame(rows[:1200], "v string")
+    b = spark.createDataFrame(rows[1200:], "v string")
+    merged = (
+        cms_table(a, "v", width=64, depth=3)
+        .unionByName(cms_table(b, "v", width=64, depth=3))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+    cms.unpersist()
+
+    with _pytest.raises(ValueError, match="width/depth"):
+        cms_table(df, "v", width=0)
