@@ -837,6 +837,29 @@ def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: schema-evolution check of the documents table against a
+    declared contract that (deliberately) expects source:int and an
+    absent quality column, and doesn't know n_chars — exercising
+    type_changed / missing / added / ok. Metadata-only (no scan); the
+    oracle is the literal expectation table (the parquet schema is part
+    of the fixed testdata contract, TESTDATA.md)."""
+    import pyspark.sql.types as T
+
+    from json_schema_py_spark.plans.validation import schema_drift
+
+    expected = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.IntegerType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    return schema_drift(spark.read.parquet(f"{sf_dir}/documents.parquet"), expected)
+
+
 def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: count-min sketch over the corpus token stream as a TABLE
     (depth 3 x width 64). The sketch STRUCTURE is exactly verifiable even
@@ -919,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate ops, gated via error-bound / recall-bound oracles:
         "q_sketches": q_sketches,
         "q_cms_tokens": q_cms_tokens,
+        "q_schema_drift": q_schema_drift,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
@@ -1584,6 +1608,18 @@ SELECT media_ref,
         / (MAX(n) - 1), 6) AS f6,
   ROUND(stddev_pop(xv), 6) AS f7
 FROM x GROUP BY media_ref
+""",
+        # the documents parquet schema is fixed testdata (TESTDATA.md):
+        # bigint/varchar columns as below; the oracle is the literal diff
+        "q_schema_drift": """
+SELECT * FROM (VALUES
+  ('doc_id', 'ok', 'bigint', 'bigint'),
+  ('text', 'ok', 'string', 'string'),
+  ('lang', 'ok', 'string', 'string'),
+  ('source', 'type_changed', 'int', 'string'),
+  ('quality', 'missing', 'double', NULL),
+  ('n_chars', 'added', NULL, 'bigint')
+) AS t(\"column\", status, expected_type, actual_type)
 """,
         # exact bucket recomputation with the identical seeded md5 hash
         "q_cms_tokens": f"""

@@ -323,3 +323,49 @@ def violations_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def schema_drift(df: DataFrame, expected: T.StructType) -> DataFrame:
+    """(column, status, expected_type, actual_type) — schema-evolution
+    check of a table against its declared contract: ``missing`` (contract
+    column absent), ``added`` (table grew a column the contract doesn't
+    know), ``type_changed``, ``ok``. Nested types compare by full
+    simpleString (a changed struct field IS a type change). Metadata-only:
+    no data is read — at 10^12 rows this costs exactly nothing, which is
+    why it belongs at the FRONT of every validation run (a type change
+    silently nulls the typed path's reads; catch it before scanning)."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    rows = []
+    for name, et in exp.items():
+        at = actual.get(name)
+        if at is None:
+            rows.append((name, "missing", et, None))
+        elif at != et:
+            rows.append((name, "type_changed", et, at))
+        else:
+            rows.append((name, "ok", et, at))
+    for name, at in actual.items():
+        if name not in exp:
+            rows.append((name, "added", None, at))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, status string, expected_type string, actual_type string"
+    )
+
+
+def schema_drift_violations(df: DataFrame, expected: T.StructType) -> DataFrame:
+    """schema_drift thresholded into the violations vocabulary: one
+    (doc_id NULL, rule_id=SCHEMA_DRIFT, path=/<column>, observed) row per
+    non-ok column — table-level rows, same shape as DISTRIBUTION_DRIFT,
+    so the run loop unions them without ceremony."""
+    d = schema_drift(df, expected)
+    return d.where(F.col("status") != "ok").select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit("SCHEMA_DRIFT").alias("rule_id"),
+        F.concat(F.lit("/"), F.col("column")).alias("path"),
+        F.concat_ws(
+            ":",
+            F.col("status"),
+            F.coalesce(F.col("actual_type"), F.lit("absent")),
+        ).alias("observed"),
+    )

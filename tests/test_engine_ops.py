@@ -191,3 +191,44 @@ def test_cms_estimate_contracts(spark):
 
     with _pytest.raises(ValueError, match="width/depth"):
         cms_table(df, "v", width=0)
+
+
+def test_schema_drift_statuses_and_violations(spark):
+    """Round-4: schema-evolution check — four statuses incl. nested-type
+    changes (struct field type counts as type_changed), and the
+    violations-vocabulary projection (table-level rows, doc_id NULL)."""
+    import pyspark.sql.types as T
+
+    from json_schema_py_spark.plans.validation import (
+        schema_drift,
+        schema_drift_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", [(1.0,)])],
+        "a long, b string, nested array<struct<v:double>>",
+    )
+    expected = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.IntegerType()),  # type changed
+            T.StructField(
+                "nested",
+                T.ArrayType(T.StructType([T.StructField("v", T.FloatType())])),
+            ),  # nested field type changed
+            T.StructField("gone", T.StringType()),  # missing
+        ]
+    )
+    got = {r["column"]: (r["status"], r["expected_type"], r["actual_type"])
+           for r in schema_drift(df, expected).collect()}
+    assert got["a"] == ("ok", "bigint", "bigint")
+    assert got["b"] == ("type_changed", "int", "string")
+    assert got["nested"][0] == "type_changed"
+    assert got["gone"] == ("missing", "string", None)
+    assert got == dict(got)  # no extras beyond the 4 + none added here
+
+    v = {r["path"]: (r["doc_id"], r["rule_id"], r["observed"])
+         for r in schema_drift_violations(df, expected).collect()}
+    assert v["/b"] == (None, "SCHEMA_DRIFT", "type_changed:string")
+    assert v["/gone"] == (None, "SCHEMA_DRIFT", "missing:absent")
+    assert "/a" not in v
