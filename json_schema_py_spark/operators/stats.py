@@ -138,25 +138,32 @@ def cms_table(
     exactly verifiable even though estimates are approximate."""
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_cms_buckets(F.col(col), width, depth)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_buckets(value, width: int, depth: int):
+    """array<struct<row,bucket>> — the ONE seeded (row, bucket) projection
+    shared by sketch build and query (review r04b: two verbatim copies
+    could drift, and a drifted query side silently estimates 0 for every
+    value — breaking the est >= true contract with no error)."""
     from json_schema_py_spark.functions.text import stable_hash64
 
-    rows = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("row"),
                 F.pmod(
-                    stable_hash64(F.col(col).cast("string"), seed=f"cms{d}"),
+                    stable_hash64(value.cast("string"), seed=f"cms{d}"),
                     F.lit(width),
                 ).cast("int").alias("bucket"),
             )
             for d in range(depth)
         ]
-    )
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(F.explode(rows).alias("rb"))
-        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -167,30 +174,23 @@ def cms_estimates(
     width: int = 1024,
     depth: int = 3,
 ) -> DataFrame:
-    """(value, est) — point-frequency estimates for a SMALL query set
-    against a cms_table sketch: min over depth rows of the matching
-    bucket count (absent bucket = 0). The query side broadcasts; the
-    sketch (depth×width rows) is the other broadcast — nothing large
-    shuffles. width/depth MUST match the sketch's."""
-    from json_schema_py_spark.functions.text import stable_hash64
-
+    """(value, est) — point-frequency estimates for a query set against a
+    cms_table sketch: min over depth rows of the matching bucket count
+    (absent bucket = 0). The SKETCH broadcasts (depth×width rows); the
+    query side pays one distinct + one groupBy shuffle, both bounded by
+    the query-set size — fine for the intended candidate-set use, not
+    for querying the whole corpus back. width/depth MUST match the
+    sketch's build parameters: a mismatch hashes into buckets the sketch
+    never populated and every estimate silently becomes 0 (no lazy way
+    to introspect the sketch frame's dimensions without an action —
+    callers own this contract; the same ValueError guard as cms_table
+    at least rejects degenerate shapes, review r04b)."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     q = queries.select(F.col(query_col).alias("value")).distinct()
     keyed = q.select(
         "value",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        F.pmod(
-                            stable_hash64(F.col("value").cast("string"), seed=f"cms{d}"),
-                            F.lit(width),
-                        ).cast("int").alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(_cms_buckets(F.col("value"), width, depth)).alias("rb"),
     ).select("value", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     joined = keyed.join(F.broadcast(cms), ["row", "bucket"], "left").select(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")

@@ -334,20 +334,28 @@ def schema_drift(df: DataFrame, expected: T.StructType) -> DataFrame:
     no data is read — at 10^12 rows this costs exactly nothing, which is
     why it belongs at the FRONT of every validation run (a type change
     silently nulls the typed path's reads; catch it before scanning)."""
-    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    actual: dict[str, list[str]] = {}
+    for f in df.schema.fields:
+        actual.setdefault(f.name, []).append(f.dataType.simpleString())
     exp = {f.name: f.dataType.simpleString() for f in expected.fields}
     rows = []
     for name, et in exp.items():
-        at = actual.get(name)
-        if at is None:
+        ats = actual.get(name)
+        if ats is None:
             rows.append((name, "missing", et, None))
-        elif at != et:
-            rows.append((name, "type_changed", et, at))
+        elif len(ats) > 1:
+            # a join can legally leave two same-named columns — a drift
+            # checker that keeps only the last one can mask a genuine type
+            # change behind the duplicate (review r04b): surface it
+            rows.append((name, "duplicated", et, ",".join(ats)))
+        elif ats[0] != et:
+            rows.append((name, "type_changed", et, ats[0]))
         else:
-            rows.append((name, "ok", et, at))
-    for name, at in actual.items():
+            rows.append((name, "ok", et, ats[0]))
+    for name, ats in actual.items():
         if name not in exp:
-            rows.append((name, "added", None, at))
+            status = "duplicated" if len(ats) > 1 else "added"
+            rows.append((name, status, None, ",".join(ats)))
     return df.sparkSession.createDataFrame(
         rows, "column string, status string, expected_type string, actual_type string"
     )

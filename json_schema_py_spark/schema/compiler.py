@@ -1226,13 +1226,20 @@ def _disk_cache_load(key: tuple) -> Optional[Column]:
         return None
     try:
         jexpr = spark._jvm.org.apache.spark.util.Utils.deserialize(path.read_bytes())
-        return _ClassicColumn(eu.column(jexpr))
     except Exception:
         # only a genuine read/deserialize failure marks the entry corrupt
         try:
             path.unlink(missing_ok=True)
         except Exception:
             pass
+        return None
+    try:
+        return _ClassicColumn(eu.column(jexpr))
+    except Exception:
+        # wrap failure is an ENVIRONMENT problem, not a corrupt entry: on a
+        # mixed-version deployment (pyspark 4.x modules over an older JVM)
+        # the _jvm attribute chain yields a silent JavaPackage and calling
+        # it throws here — never unlink for that (review r04b)
         return None
 
 

@@ -225,10 +225,45 @@ def test_schema_drift_statuses_and_violations(spark):
     assert got["b"] == ("type_changed", "int", "string")
     assert got["nested"][0] == "type_changed"
     assert got["gone"] == ("missing", "string", None)
-    assert got == dict(got)  # no extras beyond the 4 + none added here
+    assert set(got) == {"a", "b", "nested", "gone"}  # no spurious extras
 
     v = {r["path"]: (r["doc_id"], r["rule_id"], r["observed"])
          for r in schema_drift_violations(df, expected).collect()}
     assert v["/b"] == (None, "SCHEMA_DRIFT", "type_changed:string")
     assert v["/gone"] == (None, "SCHEMA_DRIFT", "missing:absent")
     assert "/a" not in v
+
+
+def test_schema_drift_duplicate_columns_surface(spark):
+    """Review r04b: duplicate column names (legal after joins) must emit a
+    'duplicated' status, never silently keep the last copy's type."""
+    import pyspark.sql.types as T
+
+    from json_schema_py_spark.plans.validation import schema_drift
+
+    dup = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("src", T.IntegerType()),
+            T.StructField("src", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([], dup)
+    exp = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("src", T.IntegerType())]
+    )
+    got = {r["column"]: (r["status"], r["actual_type"]) for r in
+           schema_drift(df, exp).collect()}
+    assert got["a"] == ("ok", "bigint")
+    assert got["src"] == ("duplicated", "int,string")
+
+
+def test_cms_estimates_guards(spark):
+    from json_schema_py_spark.operators.stats import cms_estimates, cms_table
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("x",)], "v string")
+    cms = cms_table(df, "v", width=8, depth=2)
+    q = spark.createDataFrame([("x",)], "value string")
+    with _pytest.raises(ValueError, match="width/depth"):
+        cms_estimates(cms, q, width=0, depth=2)
