@@ -84,14 +84,27 @@ def curate_documents(
     survive as the smaller-id keeper of a duplicate family)."""
     if near_dup_method not in ("lsh", "ngram"):
         raise ValueError(f"near_dup_method must be 'lsh' or 'ngram', got {near_dup_method!r}")
-    base = docs.select(
+    base_cols = [
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         token_count(F.col(text_col)).alias("_ntok"),
         lang_id(F.col(text_col)).alias("_lang"),
         stopword_ratio(F.col(text_col)).alias("_swr"),
         text_fingerprint(F.col(text_col)).alias("_fp"),
+    ]
+    rep_gate = (
+        max_dup_line_fraction is not None or max_top_ngram_char_fraction is not None
     )
+    if rep_gate:
+        # materialize the repetition struct as a COLUMN so both threshold
+        # branches read one evaluation (two inline field refs would embed
+        # — and evaluate — the whole sort+fold struct twice per row)
+        from json_schema_py_spark.functions.text import repetition_metrics
+
+        base_cols.append(
+            repetition_metrics(F.col(text_col), ngram_n=repetition_ngram_n).alias("_rm")
+        )
+    base = docs.select(*base_cols)
     quality_reason = (
         F.when(F.col("_ntok") < min_tokens, F.lit("too_short"))
         .when(F.col("_ntok") > max_tokens, F.lit("too_long"))
@@ -101,20 +114,18 @@ def curate_documents(
         )
         .when(F.col("_swr") < min_stopword_ratio, F.lit("low_quality"))
     )
-    if max_dup_line_fraction is not None or max_top_ngram_char_fraction is not None:
+    if rep_gate:
         # round-4 (Gopher-rule family): within-document repetition caps —
         # slotted after low_quality, before pii, so the drop-reason priority
         # stays a strict chain. Opt-in: thresholds are corpus policy.
-        from json_schema_py_spark.functions.text import repetition_metrics
-
-        rm = repetition_metrics(F.col("text"), ngram_n=repetition_ngram_n)
         if max_dup_line_fraction is not None:
             quality_reason = quality_reason.when(
-                rm["dup_line_fraction"] > max_dup_line_fraction, F.lit("repetitive")
+                F.col("_rm")["dup_line_fraction"] > max_dup_line_fraction,
+                F.lit("repetitive"),
             )
         if max_top_ngram_char_fraction is not None:
             quality_reason = quality_reason.when(
-                rm["top_ngram_char_fraction"] > max_top_ngram_char_fraction,
+                F.col("_rm")["top_ngram_char_fraction"] > max_top_ngram_char_fraction,
                 F.lit("repetitive"),
             )
     if max_pii_total is not None:
