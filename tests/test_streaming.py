@@ -323,3 +323,45 @@ def test_streaming_drift_loop_matches_batch_verdict(spark, tmp_path):
     empty_log = HistogramLog(spark, str(tmp_path / "none"), bounds={"v": (0.0, 1.0, 2)})
     with _pytest.raises(ValueError, match="no snapshot"):
         streaming_psi_from_log(stream, "v", empty_log)
+
+
+def test_quality_and_repetition_metrics_bind_to_streams(spark, tmp_path):
+    """Round-4: the text-metric projections (quality, repetition, PII
+    totals, domains) are stateless Column expressions — they must bind to
+    a streaming frame unchanged and produce batch-identical rows under
+    AvailableNow."""
+    from json_schema_py_spark.functions.text import quality_metrics, repetition_metrics
+    from json_schema_py_spark.operators.contamination import pii_total_col, url_domains
+
+    nl = chr(10)
+    rows = [(i, f"the quick fox {i}{nl}dup line{nl}dup line{nl}visit https://ex{i % 3}.org/x")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "qsrc")
+    df.coalesce(2).write.parquet(src)
+
+    def project(frame):
+        return frame.select(
+            "doc_id",
+            quality_metrics(F.col("text")).alias("q"),
+            repetition_metrics(F.col("text")).alias("r"),
+            pii_total_col(F.col("text")).alias("pii"),
+            url_domains(F.col("text")).alias("doms"),
+        )
+
+    batch = {r["doc_id"]: (r["q"], r["r"], r["pii"], r["doms"])
+             for r in project(df).collect()}
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        project(stream)
+        .writeStream.format("memory").queryName("qmetrics")
+        .option("checkpointLocation", str(tmp_path / "qck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["q"], r["r"], r["pii"], r["doms"])
+           for r in spark.sql("select * from qmetrics").collect()}
+    assert got == batch
+    assert all(r[1]["dup_line_fraction"] > 0 for r in got.values())
+    assert all(len(r[3]) == 1 for r in got.values())
