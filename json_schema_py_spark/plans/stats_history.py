@@ -108,3 +108,33 @@ class HistogramLog:
             for c in cols
             if c in self.bounds
         }
+
+    def prune(self, older_than_ts: float, keep_latest_per_column: bool = True) -> int:
+        """Retention: drop snapshots with ts < ``older_than_ts``; returns
+        rows removed. ``keep_latest_per_column`` (default) always retains
+        each column's newest snapshot even if it predates the cutoff —
+        pruning must never delete the only baseline the drift loop has.
+
+        Sandbox storage is a plain parquet dir, so prune rewrites it
+        (read → filter → write-temp → swap); the log is bounded
+        (columns × nbins rows per run), so the rewrite is driver-trivial.
+        On Iceberg this is a metadata DELETE instead."""
+        import shutil
+
+        h = self.read()
+        latest = h.withColumn(
+            "_max_ts", F.max("ts").over(Window.partitionBy("column"))
+        )
+        keep_cond = F.col("ts") >= older_than_ts
+        if keep_latest_per_column:
+            keep_cond = keep_cond | (F.col("ts") == F.col("_max_ts"))
+        kept = latest.where(keep_cond).drop("_max_ts")
+        n_before = h.count()
+        n_after = kept.count()
+        if n_after == n_before:
+            return 0
+        tmp = self.path + ".pruning"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+        return n_before - n_after

@@ -322,3 +322,36 @@ def test_null_keyed_cross_row_violations_fail_a_nullkey_verdict(spark):
     assert len(nk) == 1 and not nk[0]["pass"] and nk[0]["violations"] == 1
     # verdict totals still cover the null-keyed violation
     assert run.verdicts.agg(F.sum("violations")).collect()[0][0] == 1
+
+
+def test_histogram_log_prune_keeps_latest_baseline(spark, tmp_path):
+    """Round-4: retention prune drops old snapshots but NEVER the newest
+    per column (deleting the only baseline would break the drift loop)."""
+    import time as _time
+
+    from json_schema_py_spark.plans.stats_history import HistogramLog
+
+    log = HistogramLog(spark, str(tmp_path / "h"), bounds={"v": (0.0, 10.0, 4)})
+    df = spark.createDataFrame([(float(i % 10),) for i in range(50)], "v double")
+    log.append(df, "run-0")
+    _time.sleep(0.05)
+    cut = _time.time()
+    _time.sleep(0.05)
+    log.append(df, "run-1")
+
+    # cutoff after run-0: run-0 rows pruned, run-1 kept
+    removed = log.prune(cut)
+    assert removed == 4
+    runs = {r["run_id"] for r in log.read().collect()}
+    assert runs == {"run-1"}
+
+    # cutoff after EVERYTHING: latest per column still survives
+    removed2 = log.prune(_time.time() + 10)
+    assert removed2 == 0
+    assert {r["run_id"] for r in log.read().collect()} == {"run-1"}
+    assert log.latest_baselines() != {}
+
+    # keep_latest_per_column=False wipes unconditionally below the cutoff
+    log.append(df, "run-2")
+    removed3 = log.prune(_time.time() + 10, keep_latest_per_column=False)
+    assert removed3 == 8 and log.read().count() == 0
