@@ -42,6 +42,14 @@ HISTORY_SCHEMA = T.StructType(
 )
 
 
+def _rank_snapshots(h):
+    """_ts_rank = 1 for each column's newest snapshot rows, 2 for the next,
+    … (dense over ts so one snapshot's nbins rows share a rank) — the ONE
+    snapshot-identity rule shared by latest_baselines and prune."""
+    w = Window.partitionBy("column").orderBy(F.desc("ts"))
+    return h.withColumn("_ts_rank", F.dense_rank().over(w))
+
+
 class HistogramLog:
     """Append-only per-run histogram snapshots with latest-previous lookup.
 
@@ -97,11 +105,7 @@ class HistogramLog:
         h = self.read()
         if exclude_run is not None:
             h = h.where(F.col("run_id") != exclude_run)
-        latest = (
-            h.withColumn("_max_ts", F.max("ts").over(Window.partitionBy("column")))
-            .where(F.col("ts") == F.col("_max_ts"))
-            .drop("_max_ts")
-        )
+        latest = _rank_snapshots(h).where(F.col("_ts_rank") == 1).drop("_ts_rank")
         cols = [r["column"] for r in latest.select("column").distinct().collect()]
         return {
             c: latest.where(F.col("column") == c).select("bucket", "cnt")
@@ -109,32 +113,44 @@ class HistogramLog:
             if c in self.bounds
         }
 
-    def prune(self, older_than_ts: float, keep_latest_per_column: bool = True) -> int:
+    def prune(self, older_than_ts: float, keep_newest: int = 2) -> int:
         """Retention: drop snapshots with ts < ``older_than_ts``; returns
-        rows removed. ``keep_latest_per_column`` (default) always retains
-        each column's newest snapshot even if it predates the cutoff —
-        pruning must never delete the only baseline the drift loop has.
+        rows removed. For every column STILL WATCHED (in ``bounds``) the
+        ``keep_newest`` most recent snapshots survive regardless of the
+        cutoff (default 2: the current snapshot AND the previous one —
+        an idempotent re-run calls latest_baselines(exclude_run=own) and
+        must still find a baseline after its own append, review r04c).
+        Columns no longer in bounds (dropped from the watch list, or an
+        old bucket-grid epoch) age out by the cutoff alone. keep_newest=0
+        prunes unconditionally.
 
         Sandbox storage is a plain parquet dir, so prune rewrites it
-        (read → filter → write-temp → swap); the log is bounded
-        (columns × nbins rows per run), so the rewrite is driver-trivial.
+        (read → filter → write-temp → swap, old dir set ASIDE first so a
+        crash mid-swap strands a recoverable copy instead of losing the
+        log); bounded at columns × nbins rows per run — driver-trivial.
         On Iceberg this is a metadata DELETE instead."""
         import shutil
 
-        h = self.read()
-        latest = h.withColumn(
-            "_max_ts", F.max("ts").over(Window.partitionBy("column"))
-        )
+        h = _rank_snapshots(self.read())
         keep_cond = F.col("ts") >= older_than_ts
-        if keep_latest_per_column:
-            keep_cond = keep_cond | (F.col("ts") == F.col("_max_ts"))
-        kept = latest.where(keep_cond).drop("_max_ts")
-        n_before = h.count()
-        n_after = kept.count()
-        if n_after == n_before:
+        if keep_newest > 0:
+            keep_cond = keep_cond | (
+                F.col("column").isin(list(self.bounds))
+                & (F.col("_ts_rank") <= keep_newest)
+            )
+        counts = h.agg(
+            F.count(F.lit(1)).alias("before"),
+            F.sum(keep_cond.cast("long")).alias("after"),
+        ).collect()[0]
+        removed = int(counts["before"] - (counts["after"] or 0))
+        if removed == 0:
             return 0
+        kept = h.where(keep_cond).drop("_ts_rank")
         tmp = self.path + ".pruning"
+        old = self.path + ".pruned-old"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(self.path, old)   # aside, not gone: crash-recoverable
         shutil.move(tmp, self.path)
-        return n_before - n_after
+        shutil.rmtree(old, ignore_errors=True)
+        return removed

@@ -324,34 +324,37 @@ def test_null_keyed_cross_row_violations_fail_a_nullkey_verdict(spark):
     assert run.verdicts.agg(F.sum("violations")).collect()[0][0] == 1
 
 
-def test_histogram_log_prune_keeps_latest_baseline(spark, tmp_path):
-    """Round-4: retention prune drops old snapshots but NEVER the newest
-    per column (deleting the only baseline would break the drift loop)."""
+def test_histogram_log_prune_keeps_baseline_pair(spark, tmp_path):
+    """Round-4 (review r04c): retention prune keeps each WATCHED column's
+    two newest snapshots past any cutoff (an idempotent re-run excludes
+    its own snapshot and still needs a baseline); unwatched columns age
+    out by the cutoff alone; keep_newest=0 prunes unconditionally."""
     import time as _time
 
     from json_schema_py_spark.plans.stats_history import HistogramLog
 
     log = HistogramLog(spark, str(tmp_path / "h"), bounds={"v": (0.0, 10.0, 4)})
     df = spark.createDataFrame([(float(i % 10),) for i in range(50)], "v double")
-    log.append(df, "run-0")
-    _time.sleep(0.05)
-    cut = _time.time()
-    _time.sleep(0.05)
-    log.append(df, "run-1")
+    for rid in ("run-0", "run-1", "run-2"):
+        log.append(df, rid)
+        _time.sleep(0.05)
 
-    # cutoff after run-0: run-0 rows pruned, run-1 kept
-    removed = log.prune(cut)
+    # cutoff after everything: the two newest snapshots survive, run-0 goes
+    removed = log.prune(_time.time() + 10)
     assert removed == 4
-    runs = {r["run_id"] for r in log.read().collect()}
-    assert runs == {"run-1"}
+    assert {r["run_id"] for r in log.read().collect()} == {"run-1", "run-2"}
+    # the idempotent-re-run flow still has a baseline after pruning
+    assert "v" in log.latest_baselines(exclude_run="run-2")
 
-    # cutoff after EVERYTHING: latest per column still survives
-    removed2 = log.prune(_time.time() + 10)
-    assert removed2 == 0
-    assert {r["run_id"] for r in log.read().collect()} == {"run-1"}
-    assert log.latest_baselines() != {}
+    # idempotent: nothing more to remove
+    assert log.prune(_time.time() + 10) == 0
 
-    # keep_latest_per_column=False wipes unconditionally below the cutoff
-    log.append(df, "run-2")
-    removed3 = log.prune(_time.time() + 10, keep_latest_per_column=False)
-    assert removed3 == 8 and log.read().count() == 0
+    # a column no longer watched ages out entirely
+    log2 = HistogramLog(spark, str(tmp_path / "h"), bounds={"w": (0.0, 1.0, 2)})
+    removed2 = log2.prune(_time.time() + 10)
+    assert removed2 == 8 and log2.read().count() == 0
+
+    # keep_newest=0 wipes unconditionally below the cutoff
+    log.append(df, "run-3")
+    assert log.prune(_time.time() + 10, keep_newest=0) == 4
+    assert log.read().count() == 0
