@@ -962,7 +962,7 @@ def validate_json_variant(
             0,
         )
 
-    violations = _C._cached_compile(ckey, vstruct, build)
+    violations = _C._cached_compile(ckey, vstruct, build, schema=schema)
     # ensure_parallelism REINSTATED (round-4): the round-3 "AQE re-coalesces
     # anyway" claim was re-measured and does NOT hold for this path — the
     # heavy projection fuses into the SCAN stage (2 splits on a compacted

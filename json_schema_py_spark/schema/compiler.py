@@ -1266,11 +1266,20 @@ def _disk_cache_store(key: tuple, col: Column, struct_type: T.StructType) -> Non
 
 
 def _cached_compile(
-    key: Optional[tuple], struct_type: T.StructType, build: Callable[[], Column]
+    key: Optional[tuple],
+    struct_type: T.StructType,
+    build: Callable[[], Column],
+    schema: Any = None,
 ) -> Column:
     """ONE memory→disk→build→store dance for every compiled-Column
     producer (compile_ruleset, compile_fires, the variant binder) — three
-    hand-copies had already drifted on the eviction guard (review r04)."""
+    hand-copies had already drifted on the eviction guard (review r04).
+
+    ``schema`` (the raw dict, when available) re-emits compile-time
+    DIAGNOSTICS on a disk hit: a cached tree skips the live build that
+    would have raised RegexDialectWarning, silently hiding dialect risk
+    from every later job (caught by test_regex_dialect_warning once the
+    disk cache landed). The warning walk is pure Python — no py4j."""
     if key is not None:
         cached = _COMPILE_CACHE.get(key)
         if cached is not None:
@@ -1280,6 +1289,8 @@ def _cached_compile(
             if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
                 _COMPILE_CACHE.clear()
             _COMPILE_CACHE[key] = disk
+            if schema is not None:
+                _emit_dialect_warnings(schema)
             return disk
     col = build()
     if key is not None:
@@ -1288,6 +1299,35 @@ def _cached_compile(
         _COMPILE_CACHE[key] = col
         _disk_cache_store(key, col, struct_type)
     return col
+
+
+def _emit_dialect_warnings(schema: Any) -> None:
+    """Walk a raw schema dict and run the regex dialect gate over every
+    pattern-bearing keyword (pattern, patternProperties keys) — the same
+    warnings a live build emits, re-raised on cache hits. Best-effort:
+    diagnostics must never fail a compile."""
+    try:
+        from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
+
+        def walk(node: Any) -> None:
+            if isinstance(node, dict):
+                pat = node.get("pattern")
+                if isinstance(pat, str):
+                    checked_java_pattern(pat)
+                pp = node.get("patternProperties")
+                if isinstance(pp, dict):
+                    for p in pp:
+                        if isinstance(p, str):
+                            checked_java_pattern(p, "patternProperties")
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(schema)
+    except Exception:
+        return
 
 
 def _compile_cache_key(schema: Any, struct_type: T.StructType, mode: str) -> Optional[tuple]:
@@ -1337,7 +1377,7 @@ def compile_ruleset(
             0,
         )
 
-    return _cached_compile(key, struct_type, build)
+    return _cached_compile(key, struct_type, build, schema=schema)
 
 
 def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
@@ -1351,7 +1391,7 @@ def compile_fires(schema: Any, struct_type: T.StructType) -> Column:
         root = F.struct(*[F.col(f.name) for f in struct_type.fields])
         return F.get(F.transform(F.array(root), lambda row: bound.fires(row)), 0)
 
-    return _cached_compile(key, struct_type, build)
+    return _cached_compile(key, struct_type, build, schema=schema)
 
 
 def with_violations(
