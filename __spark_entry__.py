@@ -900,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_media_dep": q_validate_media_dep,
         "q_validate_media_dep_verbose": q_validate_media_dep_verbose,
         "q_doc_verdicts": q_doc_verdicts,
+        "q_partition_verdicts": q_partition_verdicts,
         "q_uniqueness": q_uniqueness,
         "q_referential": q_referential,
         "q_column_stats": q_column_stats,
@@ -946,8 +947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
-        # rows-only (partition ids are plan-dependent):
-        "q_partition_verdicts": q_partition_verdicts,
     }
 
 
@@ -1501,7 +1500,7 @@ SELECT doc_id,
     ELSE 0.0 END, 6) AS top_ngram_char_fraction
 FROM grams
 """,
-        "q_domains": """
+        "q_domains": r"""
 WITH d AS (
   SELECT doc_id, text
     || CASE WHEN doc_id % 4 = 0

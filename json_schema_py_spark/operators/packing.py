@@ -64,6 +64,10 @@ def _quantile_bucket_col(base: DataFrame, sur, n_buckets: int):
     a static comparison chain per row — same cost class as width_bucket.
     Duplicate boundaries (heavy ties) leave some buckets empty, which the
     prefix-sum machinery handles as zero-total buckets."""
+    if n_buckets <= 1:
+        # percentile_approx([]) fails analysis (ADVICE r04); one bucket
+        # needs no boundaries
+        return F.lit(1).cast("long")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = base.select(
         F.percentile_approx(sur, qs, 10_000).alias("bs")

@@ -301,7 +301,13 @@ def violations_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
         return (
             df.groupBy(*keys)
             .agg(F.max("observed").alias("observed"))
-            .select([F.col(k).alias(f"_{tag}_{k}") for k in keys + ["observed"]])
+            .select(
+                *[F.col(k).alias(f"_{tag}_{k}") for k in keys + ["observed"]],
+                # literal presence marker: rule_id IS NOT NULL would
+                # misclassify a (schema-permitted) NULL-rule_id row as
+                # absent from its own side (ADVICE r04)
+                F.lit(True).alias(f"_{tag}_present"),
+            )
         )
 
     p = _side(prev, "p")
@@ -311,8 +317,8 @@ def violations_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
         [F.col(f"_p_{k}").eqNullSafe(F.col(f"_c_{k}")) for k in keys],
     )
     joined = p.join(c, cond, "full_outer")
-    in_prev = F.col("_p_rule_id").isNotNull()
-    in_cur = F.col("_c_rule_id").isNotNull()
+    in_prev = F.col("_p_present").isNotNull() & F.col("_p_present")
+    in_cur = F.col("_c_present").isNotNull() & F.col("_c_present")
     return joined.select(
         *[F.coalesce(F.col(f"_p_{k}"), F.col(f"_c_{k}")).alias(k) for k in keys],
         F.col("_p_observed").alias("observed_prev"),

@@ -1135,7 +1135,7 @@ _DISK_FORMAT_VERSION = 1
 _ENGINE_SOURCE_HASH: Optional[str] = None
 
 
-def _engine_source_hash() -> str:
+def _engine_source_hash() -> Optional[str]:
     """Hash of the source files that determine compiled output — a code
     change invalidates every disk entry (the content key alone would keep
     serving trees compiled by OLDER engine code). Covers every producer
@@ -1160,9 +1160,14 @@ def _engine_source_hash() -> str:
             try:
                 h.update(path.read_bytes())
             except OSError:
-                h.update(path.name.encode())
+                # source unreadable (zip/egg/pex deployment): a name-only
+                # hash would be CONSTANT across engine versions and keep
+                # serving stale trees after an upgrade (ADVICE r04) —
+                # disable the disk cache for this process instead
+                _ENGINE_SOURCE_HASH = ""
+                return None
         _ENGINE_SOURCE_HASH = h.hexdigest()[:16]
-    return _ENGINE_SOURCE_HASH
+    return _ENGINE_SOURCE_HASH or None
 
 
 def _disk_cache_dir():
@@ -1177,9 +1182,35 @@ def _disk_cache_dir():
     return Path.home() / ".cache" / "json_schema_py_spark" / "compiled"
 
 
+def _trusted_cache_dir():
+    """Cache entries are Java-DESERIALIZED on load — a shared or
+    group/other-writable cache dir is an arbitrary-code-execution vector
+    (ADVICE r04). Returns the dir only when it exists, is owned by the
+    current user, and is not group/other-writable; ``create=True`` makes
+    it 0700 first. Anything else disables the disk cache."""
+    d = _disk_cache_dir()
+    if d is None:
+        return None
+    import os
+
+    try:
+        st = d.stat()
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            return None
+        if st.st_mode & 0o022:
+            return None
+    except OSError:
+        return None
+    return d
+
+
 def _disk_cache_path(key: tuple):
     d = _disk_cache_dir()
     if d is None:
+        return None
+    src_hash = _engine_source_hash()
+    if src_hash is None:
+        # engine source unreadable → cannot key entries to engine version
         return None
     import hashlib
 
@@ -1187,7 +1218,7 @@ def _disk_cache_path(key: tuple):
 
     h = hashlib.sha256(
         repr(
-            (_DISK_FORMAT_VERSION, pyspark.__version__, _engine_source_hash(), key)
+            (_DISK_FORMAT_VERSION, pyspark.__version__, src_hash, key)
         ).encode()
     ).hexdigest()
     return d / f"{h}.expr"
@@ -1208,6 +1239,9 @@ def _disk_cache_load(key: tuple) -> Optional[Column]:
     try:
         path = _disk_cache_path(key)
         if path is None or not path.is_file():
+            return None
+        if _trusted_cache_dir() is None:
+            # never deserialize from a dir we don't exclusively own
             return None
         spark = _classic_jvm_session()
         if spark is None:
@@ -1257,9 +1291,23 @@ def _disk_cache_store(key: tuple, col: Column, struct_type: T.StructType) -> Non
         df = spark.createDataFrame([], struct_type).select(col.alias("_c"))
         jexpr = df._jdf.queryExecution().logical().expressions().apply(0).child()
         data = bytes(spark._jvm.org.apache.spark.util.Utils.serialize(jexpr))
-        path.parent.mkdir(parents=True, exist_ok=True)
+        import os
+
+        if not path.parent.is_dir():
+            path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+            try:
+                os.chmod(path.parent, 0o700)  # mkdir mode is masked by umask
+            except OSError:
+                pass
+        if _trusted_cache_dir() is None:
+            # PRE-EXISTING dir with wrong owner/permissions: don't seed it,
+            # and don't silently chmod-"repair" it — files planted before a
+            # repair would become loadable
+            return
         tmp = path.with_suffix(f".tmp{id(col)}")
-        tmp.write_bytes(data)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
         tmp.replace(path)  # atomic vs concurrent writers
     except Exception:
         return
@@ -1309,18 +1357,36 @@ def _emit_dialect_warnings(schema: Any) -> None:
     try:
         from json_schema_py_spark.schema.regex_dialect import checked_java_pattern
 
+        def check(pat: str, kw: Optional[str] = None) -> None:
+            # per-pattern guard: one bad pattern must not truncate the
+            # remaining warnings (ADVICE r04) — and a raise here would be
+            # a false positive anyway (the live build that produced this
+            # cache entry compiled cleanly)
+            try:
+                if kw is None:
+                    checked_java_pattern(pat)
+                else:
+                    checked_java_pattern(pat, kw)
+            except Exception:
+                pass
+
+        # keys whose VALUES are data, not schema: a 'pattern' key inside a
+        # const/enum/default/examples literal is not a regex (ADVICE r04)
+        _DATA_KEYS = ("const", "enum", "default", "examples")
+
         def walk(node: Any) -> None:
             if isinstance(node, dict):
                 pat = node.get("pattern")
                 if isinstance(pat, str):
-                    checked_java_pattern(pat)
+                    check(pat)
                 pp = node.get("patternProperties")
                 if isinstance(pp, dict):
                     for p in pp:
                         if isinstance(p, str):
-                            checked_java_pattern(p, "patternProperties")
-                for v in node.values():
-                    walk(v)
+                            check(p, "patternProperties")
+                for k, v in node.items():
+                    if k not in _DATA_KEYS:
+                        walk(v)
             elif isinstance(node, list):
                 for v in node:
                     walk(v)

@@ -267,3 +267,21 @@ def test_cms_estimates_guards(spark):
     q = spark.createDataFrame([("x",)], "value string")
     with _pytest.raises(ValueError, match="width/depth"):
         cms_estimates(cms, q, width=0, depth=2)
+
+
+def test_violations_diff_null_rule_id_presence(spark):
+    """ADVICE r04: side-presence uses a literal marker, not rule_id
+    nullness — a NULL-rule_id row present in both runs is 'unchanged',
+    and one present only in cur is 'new' (not misclassified)."""
+    from json_schema_py_spark.plans.validation import violations_diff
+
+    prev = spark.createDataFrame(
+        [("d1", None, "/a", "1")],
+        "doc_id string, rule_id string, path string, observed string",
+    )
+    cur = spark.createDataFrame(
+        [("d1", None, "/a", "1"), ("d2", None, "/b", "2")],
+        "doc_id string, rule_id string, path string, observed string",
+    )
+    got = {(r["doc_id"], r["status"]) for r in violations_diff(prev, cur).collect()}
+    assert got == {("d1", "unchanged"), ("d2", "new")}

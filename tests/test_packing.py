@@ -293,3 +293,24 @@ def test_select_mixture_per_source_budgets(spark):
         select_mixture(df, 100, {}, "q")
     with _pytest.raises(ValueError, match="total_budget"):
         select_mixture(df, -1, {"web": 1.0}, "q")
+
+
+def test_quantile_mode_single_bucket(spark):
+    """ADVICE r04: bucket_mode='quantile' with num_buckets=1 used to build
+    an empty percentage list for percentile_approx (analysis error); it
+    must short-circuit and still match the naive global window."""
+    from json_schema_py_spark.functions.text import token_count
+    from json_schema_py_spark.operators.packing import assign_token_spans
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 5)) for i in range(40)], "doc_id long, text string"
+    )
+    got = assign_token_spans(docs, 16, num_buckets=1, bucket_mode="quantile")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        docs.select("doc_id", token_count(F.col("text")).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    g = {r["doc_id"]: r["start_tok"] for r in got.collect()}
+    n = {r["doc_id"]: r["cum"] - r["n"] for r in naive.collect()}
+    assert g == n

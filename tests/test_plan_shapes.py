@@ -345,3 +345,81 @@ def test_disk_compile_cache_disabled_and_corrupt_entry(tmp_path, monkeypatch):
     col = C.compile_ruleset(schema, st)  # falls back to live build
     assert col is not None
     assert not path.exists() or path.stat().st_size > 100  # corrupt removed (rewritten by store)
+
+
+def test_disk_cache_refuses_untrusted_dir_and_sets_modes(tmp_path, monkeypatch, spark):
+    """ADVICE r04: cache entries are Java-deserialized, so the disk cache
+    (a) creates its dir 0700 / files 0600, (b) refuses to load from or
+    seed a group/other-writable dir, and (c) disables itself entirely
+    when the engine source is unreadable (zip/egg deployment) instead of
+    keying entries on a version-blind filename hash."""
+    import os
+
+    import json_schema_py_spark.schema.compiler as C
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("q", T.LongType())])
+    schema = {"properties": {"q": {"minimum": 0}}}
+    key = C._compile_cache_key(schema, st, "viol:False")
+
+    # (a) fresh dir: store creates it 0700, entry file 0600
+    cc = tmp_path / "secure"
+    monkeypatch.setenv("SPARK_SCHEMA_COMPILE_CACHE", str(cc))
+    C._COMPILE_CACHE.pop(key, None)
+    C.compile_ruleset(schema, st)
+    files = list(cc.glob("*.expr"))
+    assert files, "store should have written an entry"
+    assert (cc.stat().st_mode & 0o777) == 0o700
+    assert (files[0].stat().st_mode & 0o777) == 0o600
+
+    # (b) world-writable dir: load refuses, store refuses to add entries
+    os.chmod(cc, 0o777)
+    assert C._trusted_cache_dir() is None
+    assert C._disk_cache_load(key) is None
+    key2 = C._compile_cache_key({"properties": {"q": {"minimum": 7}}}, st, "viol:False")
+    C._COMPILE_CACHE.pop(key2, None)
+    C.compile_ruleset({"properties": {"q": {"minimum": 7}}}, st)
+    assert len(list(cc.glob("*.expr"))) == 1  # nothing new seeded
+    os.chmod(cc, 0o700)
+    assert C._trusted_cache_dir() is not None
+
+    # (c) unreadable engine source -> no disk keying at all
+    monkeypatch.setattr(C, "_ENGINE_SOURCE_HASH", "")
+    assert C._engine_source_hash() is None
+    assert C._disk_cache_path(key) is None
+
+
+def test_dialect_warnings_skip_data_positions():
+    """ADVICE r04: the cache-hit warning walk flags 'pattern' only in
+    SCHEMA positions — a pattern-shaped key inside const/enum/default
+    literal values is data, not a regex; and one bad pattern never
+    truncates the remaining warnings."""
+    import warnings
+
+    import json_schema_py_spark.schema.compiler as C
+    from json_schema_py_spark.schema.regex_dialect import RegexDialectWarning
+
+    data_only = {
+        "properties": {
+            "a": {"const": {"pattern": "(?P<x>a)"}},
+            "b": {"enum": [{"pattern": "(?P<x>a)"}]},
+            "c": {"default": {"pattern": "(?P<x>a)"}},
+        }
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C._emit_dialect_warnings(data_only)
+    assert not any(issubclass(x.category, RegexDialectWarning) for x in w)
+
+    mixed = {
+        "properties": {
+            # invalid-in-both-dialects pattern first: must not swallow the
+            # warning for the next property
+            "a": {"pattern": "("},
+            "b": {"pattern": "(?P<x>a)"},
+        }
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C._emit_dialect_warnings(mixed)
+    assert any(issubclass(x.category, RegexDialectWarning) for x in w)
