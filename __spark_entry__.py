@@ -333,6 +333,34 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(d, bench, shingle_k=8, min_shared=3)
 
 
+def q_contamination_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 (VERDICT r04 item 7): CMS-BACKED hot-shingle filtering —
+    the exact per-benchmark corpus counting pass replaced by point lookups
+    against the reusable corpus shingle sketch (corpus_shingle_cms, built
+    once per corpus snapshot; bounded depth×width rows at any scale).
+    width=1024/depth=2 with cap=30 forces GENUINE sketch-collision
+    filtering at this corpus size (est ≈ true + bucket load). The whole
+    composition is deterministic seeded-md5 arithmetic, so DuckDB
+    recomputes it EXACTLY: bucket counts → min-over-rows estimates → cap
+    filter → hit counts over kept shingles. est ≥ true (CMS never
+    undercounts) keeps the work bound guaranteed; the overdrop audit is
+    pinned in tests/test_contamination.py."""
+    from json_schema_py_spark.operators.contamination import (
+        contamination_hits,
+        corpus_shingle_cms,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("bench_id"), "text"
+    )
+    cms = corpus_shingle_cms(d, shingle_k=8, width=1024, depth=2)
+    return contamination_hits(
+        d, bench, shingle_k=8, min_shared=1, max_shingle_hits=30,
+        shingle_cms=cms, cms_width=1024, cms_depth=2,
+    )
+
+
 def q_contamination_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 (VERDICT r03 item 2): NORMALIZED decontamination at the
     13-gram convention — the benchmark quotes docs 0-9 with hostile
@@ -923,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_ppm": q_media_ppm,
         "q_media_wav": q_media_wav,
         "q_contamination": q_contamination,
+        "q_contamination_cms": q_contamination_cms,
         "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
         "q_domains": q_domains,
@@ -1421,6 +1450,39 @@ b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
       FROM documents WHERE doc_id < 10)
 SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
 FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 3
+""",
+        # CMS-backed hot-shingle filter: recompute the ENTIRE composition
+        # (sketch bucket counts with the seeded md5, min-over-rows
+        # estimates, cap filter, hits over kept shingles) — deterministic
+        # end to end
+        "q_contamination_cms": f"""
+WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
+ds AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+cms AS (
+  SELECT r.r AS row,
+    ('0x' || substr(md5('cms' || r.r || '|' || sh), 1, 15))::BIGINT % 1024 AS bucket,
+    COUNT(*) AS cnt
+  FROM ds, range(2) r(r) GROUP BY 1, 2
+),
+b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
+      FROM documents WHERE doc_id < 10),
+bs AS (SELECT bench_id, unnest(sh) AS sh FROM b),
+q AS (SELECT DISTINCT sh FROM bs),
+keys AS (
+  SELECT q.sh, r.r AS row,
+    ('0x' || substr(md5('cms' || r.r || '|' || q.sh), 1, 15))::BIGINT % 1024 AS bucket
+  FROM q, range(2) r(r)
+),
+est AS (
+  SELECT keys.sh, MIN(COALESCE(cms.cnt, 0)) AS est
+  FROM keys LEFT JOIN cms ON cms.row = keys.row AND cms.bucket = keys.bucket
+  GROUP BY keys.sh
+),
+kept AS (SELECT sh FROM est WHERE est <= 30)
+SELECT ds.doc_id, bs.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ds JOIN kept USING (sh) JOIN bs USING (sh)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 1
 """,
         # normalized 13-gram decontamination: the bench side is the SAME
         # docs uppercased with a comma after every word — normalization

@@ -221,3 +221,96 @@ def test_domain_extraction_and_blocklist(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one"):
         flag_blocked_domains(docs, [])
+
+
+def test_contamination_cms_filter_contract(spark):
+    """Round-5 (VERDICT r04 item 7): the CMS-backed hot-shingle filter.
+    (a) With a wide sketch (no collisions) the CMS path reproduces the
+    exact cap filter bit-for-bit and the overdrop audit is empty.
+    (b) With a deliberately narrow sketch, overestimates can only drop
+    EXTRA shingles (est >= true: the work bound stays guaranteed), so
+    the hit set is a subset of the exact-capped one, and the overdrop
+    audit reports exactly the collision-dropped under-cap shingles."""
+    from json_schema_py_spark.operators.contamination import (
+        contamination_cms_overdrop,
+        contamination_hits,
+        contamination_hot_shingles,
+        corpus_shingle_cms,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    uniq = " ".join(f"u{j}" for j in range(8))
+    docs = [(i, f"{boiler} d{i}a d{i}b d{i}c") for i in range(40)]
+    docs.append((500, f"{boiler} {uniq} tail1 tail2"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900000, f"{boiler} {uniq}")], "bench_id long, text string"
+    )
+
+    exact = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_hits(d, bench, min_shared=1, max_shingle_hits=10).collect()
+    }
+    # bench item = 16 tokens -> 9 distinct 8-grams; the boiler one is
+    # corpus-hot (41 docs, dropped at cap 10), the other 8 live only in
+    # doc 500 (hits=1, kept)
+    assert exact == {(500, 900000, 8)}
+
+    # (a) wide sketch: no collisions -> identical to the exact path
+    wide = corpus_shingle_cms(d, width=65536, depth=3)
+    via_cms = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_hits(
+            d, bench, min_shared=1, max_shingle_hits=10,
+            shingle_cms=wide, cms_width=65536, cms_depth=3,
+        ).collect()
+    }
+    assert via_cms == exact
+    assert (
+        contamination_cms_overdrop(
+            d, bench, wide, max_shingle_hits=10, cms_width=65536, cms_depth=3
+        ).count()
+        == 0
+    )
+
+    # (b) narrow sketch: collisions inflate estimates -> subset + audit
+    narrow = corpus_shingle_cms(d, width=2, depth=1)
+    via_narrow = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_hits(
+            d, bench, min_shared=1, max_shingle_hits=10,
+            shingle_cms=narrow, cms_width=2, cms_depth=1,
+        ).collect()
+    }
+    # dropping extra shingles can only shrink n_shared / lose pairs
+    assert {(a, b) for a, b, _ in via_narrow} <= {(a, b) for a, b, _ in exact}
+    assert all(
+        n <= {(a, b): m for a, b, m in exact}[(a, b)] for a, b, n in via_narrow
+    )
+    over = contamination_cms_overdrop(
+        d, bench, narrow, max_shingle_hits=10, cms_width=2, cms_depth=1
+    ).collect()
+    # every audited row: sketch said hot (est > cap), exact count is not
+    assert all(r["est"] > 10 >= r["hits"] for r in over)
+    # the audit accounts EXACTLY for the n_shared lost to collisions
+    # (8 exact-kept shingles minus what the narrow filter kept), and it
+    # never overlaps the genuinely-hot set (that's hot_shingles' job)
+    narrow_shared = sum(n for _, _, n in via_narrow)
+    assert len(over) == 8 - narrow_shared
+    hot = {r["sh"] for r in contamination_hot_shingles(d, bench, max_shingle_hits=10).collect()}
+    assert {r["sh"] for r in over}.isdisjoint(hot)
+
+
+def test_contamination_cms_requires_cap(spark):
+    import pytest as _pytest
+
+    from json_schema_py_spark.operators.contamination import (
+        contamination_hits,
+        corpus_shingle_cms,
+    )
+
+    d = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "a b c d e f g h")], "bench_id long, text string")
+    cms = corpus_shingle_cms(d)
+    with _pytest.raises(ValueError, match="max_shingle_hits"):
+        contamination_hits(d, b, shingle_cms=cms)
