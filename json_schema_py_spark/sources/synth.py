@@ -129,7 +129,10 @@ def _span_struct(i: Column, text: Column, j: Column, plant: Column) -> Column:
 
 
 def spans_documents(
-    spark: SparkSession, sf_dir: str, include_source_file: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    include_source_file: bool = False,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The interleaved documents table: (src_id, doc_id, spans).
 
@@ -140,8 +143,17 @@ def spans_documents(
     ``include_source_file=True`` adds ``_source_file`` (the parquet file path
     via the ``_metadata`` hidden column) — the DURABLE partition identity for
     checkpoint/resume (plans/checkpoint.py); on Iceberg the same role is
-    played by the partition-values column."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    played by the partition-values column.
+
+    ``docs`` substitutes a pre-read frame with the raw documents schema for
+    the parquet read — the derivation is a stateless projection, so a
+    ``readStream`` frame binds unchanged (the streaming drift arm of
+    scripts/run_validation_job.py, round-5). Not combinable with
+    ``include_source_file`` (``_metadata`` is a batch-scan column)."""
+    if docs is not None and include_source_file:
+        raise ValueError("include_source_file requires the batch parquet read")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # project to unambiguous names first: the output re-uses the name
     # "doc_id", and lateral column alias resolution would otherwise bind
     # F.col("doc_id") inside the span lambdas to the NEW string column

@@ -85,6 +85,68 @@ def main(sf_dir: str, out_dir: str, run_id: str = "run-0") -> int:
             d = d.unionByName(x)
         d.write.mode("overwrite").parquet(f"{out_dir}/violations_drift")
         drift_rows = spark.read.parquet(f"{out_dir}/violations_drift").count()
+
+        # round-5 (VERDICT r04 item 6): the LIVE-INGEST arm of the same
+        # drift loop — an AvailableNow streaming pass over the identical
+        # input against the identical HistogramLog baseline must reach the
+        # identical verdict. Synthetic event time puts every doc in ONE
+        # 10-minute window except a deterministic sentinel residue
+        # (src_id % 997 == 0) placed 20 minutes later purely to advance
+        # the watermark and close the main window (append-mode streams
+        # only emit finalized windows; a finite AvailableNow replay gets
+        # no extra flush batch). The batch PSI for the comparison is
+        # recomputed over the same sentinel-free row subset.
+        from json_schema_py_spark.operators.drift import histogram as _hist
+        from json_schema_py_spark.operators.drift import psi as _psi
+        from json_schema_py_spark.streaming.drift_stream import streaming_psi_from_log
+
+        base_epoch = 1_767_261_600  # 2026-01-01 10:00:00 UTC
+        raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        # the file stream source requires a DIRECTORY; documents.parquet is
+        # a single file inside sf_dir, so stream the dir with a glob filter
+        raw_stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        sw = (
+            spans_documents(spark, sf_dir, docs=raw_stream)
+            .withColumn("n_spans", F.size("spans"))
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(base_epoch)
+                    + F.when(F.col("src_id") % 997 == 0, 1200).otherwise(0)
+                ),
+            )
+        )
+        pw = streaming_psi_from_log(
+            sw, "n_spans", hlog,
+            window_duration="10 minutes", watermark="1 second",
+        )
+        (
+            pw.writeStream.format("parquet")
+            .option("path", f"{out_dir}/drift_stream_windows")
+            .option("checkpointLocation", f"{out_dir}/drift_stream_ck/{run_id}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(600)
+        )
+        wins = spark.read.parquet(f"{out_dir}/drift_stream_windows")
+        main = wins.where(
+            F.col("window_start") == F.timestamp_seconds(F.lit(base_epoch))
+        ).collect()
+        subset = watched.where(F.col("src_id") % 997 != 0)
+        lo, hi, nb = bounds["n_spans"]
+        batch_psi = _psi(
+            _hist(subset, "n_spans", lo, hi, nb), baselines["n_spans"]
+        ).collect()[0]["psi"]
+        s_psi = main[0]["psi"] if main else None
+        print(
+            f"streaming drift arm: window psi={s_psi} "
+            f"batch psi on same rows={batch_psi} identical={s_psi == batch_psi}"
+        )
     hlog.append(watched, run_id)
 
     n = spark.read.parquet(f"{out_dir}/violations").count()
