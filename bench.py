@@ -122,8 +122,12 @@ def run_benchmarks(cpus: int) -> dict:
 
     # every per-query number is min-of-N (BENCH_NOISY_REPS, default 3):
     # round-2's "+21%/+27% regressions" were single-shot artifacts — this
-    # host's first-call JIT + page-cache variance exceeds real deltas
-    noisy_reps = int(os.environ.get("BENCH_NOISY_REPS", "3"))
+    # host's first-call JIT + page-cache variance exceeds real deltas.
+    # Round-5 raised the default 3 → 5: a min-of-6×2 attribution run showed
+    # sub-second queries still decaying through rep 6 (C2 steady state
+    # arrives around rep 7-10), which manufactured the four r4 "+16-26%"
+    # upticks out of warm-up state
+    noisy_reps = int(os.environ.get("BENCH_NOISY_REPS", "5"))
 
     def _timed(fn) -> float:
         t0 = time.time()

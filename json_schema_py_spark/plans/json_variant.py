@@ -984,3 +984,61 @@ def validate_json_variant(
             F.col("x.observed").alias("observed"),
         )
     )
+
+
+def validate_variant(
+    df: DataFrame, variant_col: str, schema: Any, key_col: str = "doc_id"
+) -> DataFrame:
+    """validate_json_variant for a column that already IS VariantType —
+    the lake-native form (round-5): tables increasingly store VARIANT
+    columns directly, SHREDDED on disk (typed per-key sub-columns; Spark
+    4.1 writes them under spark.sql.variant.writeShredding.enabled and
+    rewrites literal-path variant_get into the scan under
+    spark.sql.variant.pushVariantIntoScan). Routing such a column through
+    the string entry costs a to_json → try_parse_json round trip of every
+    payload; this entry binds the binder to the variant value directly.
+
+    Semantics: a NULL variant cell is validated as a JSON null document
+    (the string entry's convention for NULL payloads); there is no
+    malformed-JSON arm — parsing happened upstream at write time.
+
+    Scale note (probed on this build): the binder's per-value
+    schema_of_variant dispatch reads the WHOLE value, so the shredded
+    reader must reassemble full variants — the typed-sub-column scan win
+    (3.5× on a variant_get-only query) does not reach this plan yet.
+    Binding schema-stable keys to shredded columns without the dispatch
+    needs per-key presence/type metadata the Column API doesn't expose;
+    re-evaluate as Spark's shredding matures (SURVEY §9)."""
+    from json_schema_py_spark.schema import compiler as _C
+
+    vstruct = T.StructType([T.StructField(variant_col, T.VariantType())])
+    ckey = _C._compile_cache_key(schema, vstruct, "variant:native")
+
+    def build() -> Column:
+        rule = schema if isinstance(schema, Rule) else normalize_schema(schema)
+        binder = VariantBinder()
+        viol, fires = binder.bind(rule)
+        # NULL cell → JSON null document, exactly like the string entry
+        parsed = F.coalesce(F.col(variant_col), F.parse_json(F.lit("null")))
+        return F.get(
+            F.transform(
+                F.array(parsed),
+                lambda v: F.when(fires(v), viol(v, F.lit(""))).otherwise(_empty()),
+            ),
+            0,
+        )
+
+    violations = _C._cached_compile(ckey, vstruct, build, schema=schema)
+    from json_schema_py_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    return (
+        df.select(F.col(key_col).alias("doc_id"), violations.alias("violations"))
+        .select("doc_id", F.explode("violations").alias("x"))
+        .select(
+            "doc_id",
+            F.col("x.rule_id").alias("rule_id"),
+            F.col("x.path").alias("path"),
+            F.col("x.observed").alias("observed"),
+        )
+    )
