@@ -319,6 +319,47 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: connected components over the LSH near-dup pair graph —
+    (doc_id, cluster_id = min reachable id), folding transitive duplicate
+    families (A~B, B~C, A!~C) into one canonical representative.
+    Distributed min-label propagation, O(diameter) bounded rounds, each
+    one join + one min-agg over the pair set (operators/dedup
+    .dedup_clusters). Oracle: DuckDB recursive-CTE transitive closure
+    over the SAME brute-force-verified pair set."""
+    from json_schema_py_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    extra = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    pairs = minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
+    return dedup_clusters(pairs)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: deterministic Bernoulli-by-hash sample — membership is a
+    pure function of the row (seeded md5 < fraction x 2^60), zero
+    shuffle, layout-independent, monotone in fraction. DuckDB recomputes
+    every kept row with the identical arithmetic."""
+    from json_schema_py_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.2, seed="r5").select(
+        "doc_id", "source"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: exact-n-per-stratum deterministic sample — rank by
+    (seeded hash, id) within each stratum, keep the first 25; output
+    bounded at strata x n at any corpus size."""
+    from json_schema_py_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "source", 25, seed="r5").select(
+        "doc_id", "source"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3: test-set decontamination — corpus docs sharing ≥3 distinct
     8-gram shingles with a benchmark item (benchmark = docs 0-9 replayed as
@@ -948,6 +989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
         "q_media_ppm": q_media_ppm,
         "q_media_wav": q_media_wav,
         "q_contamination": q_contamination,
@@ -1416,6 +1460,49 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        # connected components over the brute-force-verified pair graph:
+        # recursive transitive closure, min reachable id per node
+        "q_dedup_clusters": f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+), base AS (
+  SELECT doc_id AS id, {_shingles_sql(_TOKS)} AS sh FROM corpus
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a, base b
+  WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+""",
+        "q_hash_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {int(0.2 * (1 << 60))}
+""",
+        "q_stratified_sample": """
+WITH r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+               doc_id
+    ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 25
 """,
         # closed-form pixel math over the deterministic gradient images —
         # the REAL numpy decoder is checked against independent SQL, not

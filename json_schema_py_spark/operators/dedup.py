@@ -589,3 +589,67 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .agg(F.count(F.lit(1)).alias("cnt"), F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.col("cnt") > 1)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a near-duplicate
+    PAIR graph (minhash_lsh_pairs / simhash_near_pairs / ngram output):
+    cluster_id is the MINIMUM doc id reachable through any chain of pairs,
+    giving every duplicate family one canonical representative even when
+    A~B and B~C but A!~C (the transitive families a pairwise keep-policy
+    like curation's smaller-id-wins approximates one hop at a time).
+
+    Distributed min-label propagation (the hash-to-min scheme of the
+    classic MapReduce connected-components literature): every node starts
+    as its own label; each round, a node takes the min label among itself
+    and its neighbors (ONE join + ONE map-side-combinable min-agg per
+    round); converges in O(component diameter) rounds — near-dup families
+    are shallow (a hub-and-spokes clone family is diameter 2), so the
+    driver loop runs a handful of bounded-size jobs, each over the PAIR
+    set (<< corpus). Labels persist per round to keep lineage flat;
+    raises if ``max_iters`` rounds don't converge (pathological chain —
+    raise the bound or pre-split the graph).
+
+    Deterministic: pure min over ids, no randomness, any pair order."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("u").alias("v"), "label"), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("label").alias("_nbr_min"))
+            )
+            new = (
+                labels.join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce("_nbr_min", F.col("label"))
+                    ).alias("_new"),
+                    F.col("label").alias("_old"),
+                )
+                .persist()
+            )
+            changed = new.where(F.col("_new") != F.col("_old")).count()
+            labels.unpersist()
+            labels = new.select("u", F.col("_new").alias("label")).persist()
+            labels.count()  # materialize before dropping the parent
+            new.unpersist()
+            if changed == 0:
+                return labels.select(
+                    F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "a component with diameter > max_iters; raise the bound"
+        )
+    finally:
+        edges.unpersist()
