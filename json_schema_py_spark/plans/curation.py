@@ -62,6 +62,7 @@ def curate_documents(
     min_stopword_ratio: float = 0.0,
     near_dup_threshold: float = 0.7,
     near_dup_method: str = "lsh",
+    near_dup_policy: str = "pairs",
     ngram_max_bucket_rows: int = 1000,
     max_pii_total: int | None = None,
     max_dup_line_fraction: float | None = None,
@@ -81,9 +82,23 @@ def curate_documents(
     (operators/contamination.pii_scan classes) exceeds the cap drop with
     reason ``"pii"`` — slotted after ``low_quality`` in the priority chain,
     before dedup (PII docs never enter the dedup corpus: they must not
-    survive as the smaller-id keeper of a duplicate family)."""
+    survive as the smaller-id keeper of a duplicate family).
+
+    ``near_dup_policy`` (round-5): ``"pairs"`` (default) drops the larger
+    id of every verified pair — one pass, no iteration, but a TRANSITIVE
+    family member that never directly pairs with the family minimum can
+    survive (star family {1,5},{2,5}: 5 drops, 1 AND 2 both stay).
+    ``"components"`` folds the pair graph into connected components
+    (operators/dedup.dedup_clusters, O(diameter) bounded rounds over the
+    pair set) and keeps EXACTLY the minimum id of each family — the
+    standard LSH-dedup semantics when one representative per family is
+    the contract. Both deterministic."""
     if near_dup_method not in ("lsh", "ngram"):
         raise ValueError(f"near_dup_method must be 'lsh' or 'ngram', got {near_dup_method!r}")
+    if near_dup_policy not in ("pairs", "components"):
+        raise ValueError(
+            f"near_dup_policy must be 'pairs' or 'components', got {near_dup_policy!r}"
+        )
     base_cols = [
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -164,11 +179,20 @@ def curate_documents(
         pairs = minhash_lsh_pairs(
             dedup_corpus, text_col="text", id_col="doc_id", threshold=near_dup_threshold
         )
-    near_drops = (
-        pairs.select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit("near_duplicate").alias("_dreason"))
-    )
+    if near_dup_policy == "components":
+        from json_schema_py_spark.operators.dedup import dedup_clusters
+
+        near_drops = (
+            dedup_clusters(pairs)
+            .where(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id", F.lit("near_duplicate").alias("_dreason"))
+        )
+    else:
+        near_drops = (
+            pairs.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit("near_duplicate").alias("_dreason"))
+        )
 
     drops = exact_drops.unionByName(near_drops)
     out = staged.join(F.broadcast(drops), "doc_id", "left")

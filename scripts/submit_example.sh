@@ -24,4 +24,4 @@ spark-submit \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.shuffle.partitions=$((EXECUTORS * 8)) \
   --py-files "$ZIP" \
-  scripts/run_validation_job.py "$INPUT" "${OUT:-/tmp/violations_out}"
+  scripts/run_validation_job.py "$INPUT" "${OUT:-/tmp/violations_out}" "${RUN_ID:-run-0}"

@@ -194,3 +194,40 @@ def test_curation_repetitive_drop_reason(spark):
     assert out[1] == (True, "kept")
     assert out[2] == (False, "repetitive")
     assert out[3] == (False, "repetitive")
+
+
+def test_curation_component_policy_transitive_star(spark):
+    """Round-5: near_dup_policy='components' vs 'pairs' on the star family
+    where they genuinely differ — hub 5 near-dups leaves 1 and 2, the
+    leaves don't near-dup each other. Pairwise (drop-the-larger-of-each-
+    pair) keeps BOTH leaves; components keeps exactly the family minimum.
+    ngram method: exact pairs, no LSH S-curve probability in the test."""
+    import pytest as _pytest
+
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    toks = [f"w{i}" for i in range(1, 31)]
+    hub = " ".join(toks)
+    a = " ".join(toks[:-3] + ["a1", "a2", "a3"])  # J(a,hub)=25/31~0.81
+    b = " ".join(["b1", "b2", "b3"] + toks[3:])   # J(b,hub)~0.81; J(a,b)=22/34~0.65
+    docs = spark.createDataFrame([(1, a), (2, b), (5, hub)], "doc_id long, text string")
+
+    def verdicts(policy):
+        return {
+            r["doc_id"]: (r["keep"], r["reason"])
+            for r in curate_documents(
+                docs, lang=None, near_dup_threshold=0.7,
+                near_dup_method="ngram", near_dup_policy=policy,
+            ).collect()
+        }
+
+    pw = verdicts("pairs")
+    assert pw == {1: (True, "kept"), 2: (True, "kept"), 5: (False, "near_duplicate")}
+    comp = verdicts("components")
+    assert comp == {
+        1: (True, "kept"),
+        2: (False, "near_duplicate"),
+        5: (False, "near_duplicate"),
+    }
+    with _pytest.raises(ValueError, match="near_dup_policy"):
+        curate_documents(docs, near_dup_policy="bogus")
