@@ -68,6 +68,7 @@ def curate_documents(
     max_dup_line_fraction: float | None = None,
     max_top_ngram_char_fraction: float | None = None,
     repetition_ngram_n: int = 2,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc.
 
@@ -150,6 +151,19 @@ def curate_documents(
             pii_total_col(F.col("text")) > max_pii_total, F.lit("pii")
         )
     staged = base.withColumn("_qreason", quality_reason)
+    if persist_intermediates:
+        # the staged projection (tokenize + lang-id + stopword + fingerprint
+        # over the FULL corpus) is referenced by five plan subtrees (exact
+        # min-fp, its re-join, the dedup corpus, LSH's two corpus reads, the
+        # final reason join) — without a persist each reference re-evaluates
+        # it, which measured 2701 s vs ~175 s of actual LSH on a 2M-doc run
+        # (round-5). MEMORY_AND_DISK: verdict-plan intermediates must never
+        # recompute-on-evict mid-join. Released by Spark's LRU / clearCache;
+        # pass persist_intermediates=False inside an outer plan that manages
+        # its own caching.
+        from pyspark import StorageLevel
+
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     surviving = staged.where(F.col("_qreason").isNull())
 
     # exact dedup among survivors: every id above the group minimum drops.

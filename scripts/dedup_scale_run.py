@@ -52,7 +52,11 @@ def build_corpus(spark, sf_dir: str, replication: int):
             F.lit("")
         ),
     )
-    return c.select(
+    # the broadcast replica join inherits the 5,000-row base's 1-2 input
+    # splits — 2M rows in 2 partitions starves every downstream stage that
+    # doesn't repartition internally (curation's projections would run as
+    # single tasks); spread the corpus before anything consumes it
+    return c.repartition(64, "src", "r").select(
         (F.col("src") * replication + F.col("r")).alias("doc_id"),
         text.alias("text"),
         F.when(planted, F.col("src")).alias("cluster"),
