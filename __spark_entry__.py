@@ -614,6 +614,20 @@ def q_validate_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_variant(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
 
 
+def q_validate_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the VariantType-NATIVE entry (plans/json_variant
+    .validate_variant) — the lake-native form where the column already IS
+    a (possibly shredded) VARIANT: no to_json→parse round trip. Same
+    ruleset, same oracle as the string entry; parse_json happens at
+    ingest, as a lake writer would."""
+    from json_schema_py_spark.plans.json_variant import validate_variant
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return validate_variant(ev, "v", _PROPS_JSON_RULESET, key_col="event_id")
+
+
 def q_violations_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: cross-run regression diff — prev = the documents ruleset's
     violation set; cur = a deterministic perturbation (ENUM_MISMATCH rows
@@ -1010,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_json_typed": q_validate_json_typed,
         "q_validate_json_exact": q_validate_json_exact,
         "q_validate_json_variant": q_validate_json_variant,
+        "q_validate_variant_native": q_validate_variant_native,
         "q_sessionize": q_sessionize,
         "q_span_sequence": q_span_sequence,
         "q_out_of_order": q_out_of_order,
@@ -1822,6 +1837,13 @@ SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
 """,
         "q_validate_json_variant": """
+SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
+  (props::JSON ->> 'k') AS observed
+FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        # the native VariantType entry validates the SAME payloads to the
+        # SAME rows — one oracle, two engine paths
+        "q_validate_variant_native": """
 SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
   (props::JSON ->> 'k') AS observed
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
