@@ -614,6 +614,73 @@ def q_validate_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_variant(ev, "props", _PROPS_JSON_RULESET, key_col="event_id")
 
 
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: backward AS-OF join (operators/temporal) — every click
+    gains the latest error at-or-before it per user (NULL when none).
+    ONE union + ONE window per key, no range explosion. Oracle: DuckDB's
+    NATIVE ASOF LEFT JOIN."""
+    from json_schema_py_spark.operators.temporal import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = as_of_join(left, right, ["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: bucketed interval (range) join — clicks inside ±5-minute
+    windows around each purchase, per user. Intervals explode to fixed
+    time buckets, events equi-join on their ONE bucket — never a cross
+    join; per-interval bucket cap + audit bound the work."""
+    from json_schema_py_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        clicks, purchases, key_cols=["user_id"], bucket_seconds=600
+    ).select("interval_id", "event_id")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: hypertable-style multi-granularity rollup — hour AND day
+    aggregates of event values in ONE grouping-sets pass (set identity by
+    grouping_id, so NULL-timestamp groups can't be misattributed)."""
+    from json_schema_py_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    r = time_rollup(ev, "ts", "value", ("hour", "day"))
+    return r.select(
+        "granularity",
+        F.date_format("bucket_start", fmt).alias("bucket_start"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum", 6).alias("sum"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def q_validate_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5: the VariantType-NATIVE entry (plans/json_variant
     .validate_variant) — the lake-native form where the column already IS
@@ -1026,6 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_json_variant": q_validate_json_variant,
         "q_validate_variant_native": q_validate_variant_native,
         "q_sessionize": q_sessionize,
+        "q_as_of_join": q_as_of_join,
+        "q_interval_join": q_interval_join,
+        "q_time_rollup": q_time_rollup,
         "q_span_sequence": q_span_sequence,
         "q_out_of_order": q_out_of_order,
         # approximate ops, gated via error-bound / recall-bound oracles:
@@ -1847,6 +1917,45 @@ FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
 SELECT event_id AS doc_id, 'NUMBER_TOO_SMALL' AS rule_id, '/k' AS path,
   (props::JSON ->> 'k') AS observed
 FROM events WHERE (props::JSON ->> 'k')::BIGINT < 50
+""",
+        # DuckDB's NATIVE ASOF JOIN is the oracle for the engine's
+        # union+window formulation
+        "q_as_of_join": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id,
+  r.event_id AS asof_event_id, r.value AS asof_value,
+  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "q_interval_join": """
+WITH p AS (
+  SELECT event_id AS interval_id, user_id,
+    ts - INTERVAL 5 MINUTE AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.interval_id, c.event_id
+FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.s AND c.ts <= p.e
+""",
+        "q_time_rollup": """
+WITH h AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS b,
+    COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum,
+    ROUND(MIN(value), 6) AS min, ROUND(MAX(value), 6) AS max,
+    ROUND(AVG(value), 6) AS mean
+  FROM events GROUP BY 2
+), d AS (
+  SELECT 'day' AS granularity, date_trunc('day', ts) AS b,
+    COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum,
+    ROUND(MIN(value), 6) AS min, ROUND(MAX(value), 6) AS max,
+    ROUND(AVG(value), 6) AS mean
+  FROM events GROUP BY 2
+), u AS (SELECT * FROM h UNION ALL SELECT * FROM d)
+SELECT granularity, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+  n, sum, min, max, mean
+FROM u
 """,
         "q_sessionize": """
 WITH s AS (
