@@ -319,6 +319,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: bigram-LM perplexity scoring (the CCNet/Gopher quality
+    filter shape) — train an add-1-smoothed bigram LM on the documents
+    corpus at vocab_size=100 (forcing real <unk> traffic), score every
+    doc. DuckDB recomputes the ENTIRE pipeline exactly: deterministic
+    top-k vocab (count DESC, token ASC), OOV mapping, unigram/bigram
+    counts, the Laplace arithmetic, per-doc aggregation."""
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab, uni, bi = train_bigram_lm(d, vocab_size=100)
+    return score_perplexity(d, vocab, uni, bi)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5: connected components over the LSH near-dup pair graph —
     (doc_id, cluster_id = min reachable id), folding transitive duplicate
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_dedup_clusters": q_dedup_clusters,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
@@ -1545,6 +1560,46 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        # the full LM pipeline recomputed: top-k vocab, OOV mapping,
+        # counts, Laplace smoothing, per-doc perplexity
+        "q_lm_perplexity": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+cnt AS (SELECT t.t AS tok, COUNT(*) AS c FROM tk, unnest(l) AS t(t) GROUP BY 1),
+voc AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rk FROM cnt
+  ) WHERE rk <= 100
+),
+vl AS (SELECT list(tok) AS vs FROM voc),
+m AS (
+  SELECT doc_id,
+    list_transform(l, t -> CASE WHEN list_contains(vs, t) THEN t ELSE '<unk>' END) AS ml
+  FROM tk, vl
+),
+uni AS (SELECT t.t AS w, COUNT(*) AS c1 FROM m, unnest(ml) AS t(t) GROUP BY 1),
+vt AS (SELECT COUNT(*) AS v FROM uni),
+bge AS (
+  SELECT doc_id, b.b AS pair FROM (
+    SELECT doc_id,
+      [ml[i] || chr(1) || ml[i+1] for i in range(1, greatest(len(ml), 1))] AS bl
+    FROM m
+  ), unnest(bl) AS b(b)
+),
+bic AS (SELECT pair, COUNT(*) AS c2 FROM bge GROUP BY 1),
+sc AS (
+  SELECT g.doc_id,
+    ln((COALESCE(bic.c2, 0) + 1.0)
+       / (uni.c1 + 1.0 * vt.v)) AS lp
+  FROM bge g
+  LEFT JOIN bic ON bic.pair = g.pair
+  JOIN uni ON uni.w = split_part(g.pair, chr(1), 1), vt
+),
+agg AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS s FROM sc GROUP BY 1)
+SELECT d.doc_id, COALESCE(agg.n, 0)::BIGINT AS n_bigrams,
+  ROUND(agg.s / agg.n, 6) AS avg_logp,
+  ROUND(exp(-agg.s / agg.n), 6) AS perplexity
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         # connected components over the brute-force-verified pair graph:
         # recursive transitive closure, min reachable id per node

@@ -1,0 +1,107 @@
+"""Bigram-LM perplexity: hand-computed smoothing math, OOV mapping,
+short-doc NULLs, and the semantic sanity check (garbage scores worse)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive(corpus: dict[int, str], targets: dict[int, str], vocab_size: int, k=1.0):
+    """Pure-Python replica of train + score."""
+    from collections import Counter
+
+    raw = Counter()
+    for t in corpus.values():
+        raw.update(t.split())
+    vocab = {
+        w for w, _ in sorted(raw.items(), key=lambda x: (-x[1], x[0]))[:vocab_size]
+    }
+    m = lambda t: [w if w in vocab else "<unk>" for w in t.split()]
+    uni, bi = Counter(), Counter()
+    for t in corpus.values():
+        ws = m(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+    out = {}
+    for i, t in targets.items():
+        ws = m(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[i] = (0, None, None)
+            continue
+        lps = [
+            math.log((bi.get(p, 0) + k) / (uni.get(p[0], 0) + k * V)) for p in pairs
+        ]
+        avg = sum(lps) / len(lps)
+        out[i] = (len(pairs), round(avg, 6), round(math.exp(-avg), 6))
+    return out
+
+
+def test_lm_matches_naive_including_oov_and_short_docs(spark):
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "the cat ate the fish",
+    }
+    targets = {
+        10: "the cat sat",           # all in-vocab bigrams
+        11: "zebra quark the cat",   # OOV head -> <unk> bigrams
+        12: "word",                  # 1 token -> NULL scores
+        13: "",                      # 0 tokens -> NULL scores
+    }
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(targets.items()), "doc_id long, text string")
+    vocab, uni, bi = train_bigram_lm(cdf, vocab_size=6)  # forces OOV ('fish'...)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in score_perplexity(tdf, vocab, uni, bi).collect()
+    }
+    assert got == _naive(corpus, targets, vocab_size=6)
+    # every input doc exactly once, short docs carried with NULLs
+    assert set(got) == set(targets)
+    assert got[12] == (0, None, None) and got[13] == (0, None, None)
+
+
+def test_lm_vocab_deterministic_and_guards(spark):
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    # tied counts break by token ASC: with vocab_size=2 over {b:2, a:2, c:1},
+    # vocab must be {a, b} on every run
+    cdf = spark.createDataFrame(
+        [(1, "b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    for _ in range(2):
+        vocab, uni, bi = train_bigram_lm(cdf, vocab_size=2)
+        assert {r["w"] for r in vocab.collect()} == {"a", "b"}
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_bigram_lm(cdf, vocab_size=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        score_perplexity(cdf, vocab, uni, bi, k=0)
+
+
+def test_lm_garbage_scores_worse_than_natural(spark):
+    """Semantic sanity on the real corpus: text drawn from the corpus
+    distribution must score lower perplexity than reversed-token text
+    (the quality-filter premise)."""
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    vocab, uni, bi = train_bigram_lm(docs, vocab_size=500)
+    natural = docs.where(F.col("doc_id") < 50)
+    garbage = natural.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    both = score_perplexity(natural.unionByName(garbage), vocab, uni, bi)
+    rows = {r["doc_id"]: r["perplexity"] for r in both.collect()}
+    nat = [rows[i] for i in rows if i < 1000 and rows[i] is not None]
+    gar = [rows[i] for i in rows if i >= 1000 and rows[i] is not None]
+    assert sum(nat) / len(nat) < sum(gar) / len(gar)
