@@ -69,6 +69,8 @@ def curate_documents(
     max_top_ngram_char_fraction: float | None = None,
     repetition_ngram_n: int = 2,
     persist_intermediates: bool = True,
+    lm: "tuple[DataFrame, DataFrame, DataFrame] | None" = None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """One row PER INPUT DOC: (doc_id, keep, reason) — see module doc.
 
@@ -85,6 +87,15 @@ def curate_documents(
     before dedup (PII docs never enter the dedup corpus: they must not
     survive as the smaller-id keeper of a duplicate family).
 
+    ``lm`` + ``max_perplexity`` (round-5): the CCNet-style perplexity
+    gate — ``lm`` is a (vocab, unigrams, bigrams) triple from
+    operators/lm.train_bigram_lm (train it on a REFERENCE corpus, not
+    necessarily this one); docs whose add-1 bigram perplexity exceeds
+    the cap drop with reason ``"high_perplexity"``, slotted after the
+    repetition caps and before ``pii``. Docs with NULL perplexity
+    (< 2 tokens) are NOT dropped by this gate — the token-count bounds
+    own that regime.
+
     ``near_dup_policy`` (round-5): ``"pairs"`` (default) drops the larger
     id of every verified pair — one pass, no iteration, but a TRANSITIVE
     family member that never directly pairs with the family minimum can
@@ -100,6 +111,8 @@ def curate_documents(
         raise ValueError(
             f"near_dup_policy must be 'pairs' or 'components', got {near_dup_policy!r}"
         )
+    if (lm is None) != (max_perplexity is None):
+        raise ValueError("lm and max_perplexity must be provided together")
     base_cols = [
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -121,6 +134,16 @@ def curate_documents(
             repetition_metrics(F.col(text_col), ngram_n=repetition_ngram_n).alias("_rm")
         )
     base = docs.select(*base_cols)
+    if lm is not None:
+        # perplexity is a JOIN (score_perplexity runs its own windowed
+        # pipeline), not a projection — attach it to the staged frame once
+        from json_schema_py_spark.operators.lm import score_perplexity
+
+        _vocab, _uni, _bi = lm
+        ppl = score_perplexity(
+            docs, _vocab, _uni, _bi, text_col=text_col, id_col=id_col
+        ).select("doc_id", F.col("perplexity").alias("_ppl"))
+        base = base.join(ppl, "doc_id", "left")
     quality_reason = (
         F.when(F.col("_ntok") < min_tokens, F.lit("too_short"))
         .when(F.col("_ntok") > max_tokens, F.lit("too_long"))
@@ -144,6 +167,12 @@ def curate_documents(
                 F.col("_rm")["top_ngram_char_fraction"] > max_top_ngram_char_fraction,
                 F.lit("repetitive"),
             )
+    if max_perplexity is not None:
+        # NULL _ppl (< 2 tokens) never trips this gate — the token-count
+        # bounds own that regime
+        quality_reason = quality_reason.when(
+            F.col("_ppl") > max_perplexity, F.lit("high_perplexity")
+        )
     if max_pii_total is not None:
         from json_schema_py_spark.operators.contamination import pii_total_col
 

@@ -231,3 +231,49 @@ def test_curation_component_policy_transitive_star(spark):
     }
     with _pytest.raises(ValueError, match="near_dup_policy"):
         curate_documents(docs, near_dup_policy="bogus")
+
+
+def test_curation_perplexity_gate(spark):
+    """Round-5: the CCNet-style LM gate — reversed-token docs exceed the
+    perplexity cap and drop with reason 'high_perplexity'; natural docs
+    survive; sub-2-token docs are NEVER dropped by this gate (NULL
+    perplexity); lm/max_perplexity must arrive together."""
+    import pytest as _pytest
+
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+    from json_schema_py_spark.plans.curation import curate_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    lm = train_bigram_lm(docs, vocab_size=500)
+
+    natural = docs.where(F.col("doc_id") < 20)
+    garbage = natural.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    short = spark.createDataFrame([(5000, "word")], "doc_id long, text string")
+    corpus = natural.unionByName(garbage).unionByName(short)
+
+    # cap between the two populations' means
+    ppl = score_perplexity(corpus, *lm)
+    nat_mean = ppl.where(F.col("doc_id") < 1000).agg(F.avg("perplexity")).collect()[0][0]
+    gar_mean = (
+        ppl.where((F.col("doc_id") >= 1000) & (F.col("doc_id") < 5000))
+        .agg(F.avg("perplexity")).collect()[0][0]
+    )
+    cap = (nat_mean + gar_mean) / 2
+    v = {
+        r["doc_id"]: r["reason"]
+        for r in curate_documents(
+            corpus, lang=None, min_tokens=0, lm=lm, max_perplexity=cap
+        ).collect()
+    }
+    dropped = {i for i, r in v.items() if r == "high_perplexity"}
+    # clear majority of garbage drops, clear majority of natural
+    # survives, and the 1-token doc is untouched by this gate
+    n_gar = len(dropped & set(range(1000, 1020)))
+    n_nat = len(dropped & set(range(20)))
+    assert n_gar >= 12 and n_nat <= 8 and n_gar > n_nat
+    assert v[5000] != "high_perplexity"
+    with _pytest.raises(ValueError, match="together"):
+        curate_documents(corpus, lm=lm)
