@@ -319,6 +319,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: TF-IDF top-3 terms per document (smoothed sklearn-style
+    idf, deterministic (tfidf DESC, term ASC) tie-break, min_df=2) —
+    DuckDB recomputes tf, df, the idf arithmetic, and the ranked top-k
+    exactly."""
+    from json_schema_py_spark.operators.keywords import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=3, min_df=2
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5: bigram-LM perplexity scoring (the CCNet/Gopher quality
     filter shape) — train an add-1-smoothed bigram LM on the documents
@@ -1085,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_lm_perplexity": q_lm_perplexity,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_clusters": q_dedup_clusters,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
@@ -1560,6 +1573,25 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        "q_tfidf_terms": f"""
+WITH toks AS (
+  SELECT doc_id, t.t AS term FROM (SELECT doc_id, {_TOKS} AS l FROM documents), unnest(l) AS t(t)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 2),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+    ROUND(tf.tf * (ln((1.0 + n.nd) / (1.0 + dfq.df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (term), n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  )::INT AS rank FROM sc
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3
 """,
         # the full LM pipeline recomputed: top-k vocab, OOV mapping,
         # counts, Laplace smoothing, per-doc perplexity

@@ -209,6 +209,20 @@ def run_benchmarks(cpus: int) -> dict:
         lambda: simhash(docs).agg(F.max("simhash")).collect()
     )
 
+    # temporal operators (round-5): as-of join + one-pass rollup on events
+    from json_schema_py_spark.operators.temporal import as_of_join, time_rollup
+
+    ev_l = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    ev_r = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    queries["as_of_join"] = min_of(
+        lambda: as_of_join(ev_l, ev_r, ["user_id"]).count()
+    )
+    queries["time_rollup"] = min_of(
+        lambda: time_rollup(ev, "ts", "value", ("hour", "day")).count()
+    )
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",

@@ -1,0 +1,69 @@
+"""TF-IDF keyword extraction — per-document salient terms against the
+corpus distribution, the classic retrieval/tagging signal a curation or
+indexing pipeline attaches beside quality scores.
+
+Scale shape: term frequencies are ONE map-side-combinable groupBy over
+the exploded token stream; document frequencies are ONE groupBy over the
+(doc, term)-distinct frame (bounded by the corpus vocabulary); the
+corpus size N is a single bounded action; the per-doc top-k is one
+window over the (doc, term) frame with a deterministic
+(tfidf DESC, term ASC) order — output bounded at docs × k. The idf
+table (vocabulary-sized) broadcasts back onto the tf frame.
+
+Smoothed idf (sklearn's convention): idf(t) = ln((1+N)/(1+df(t))) + 1 —
+strictly positive, so a term in every document still ranks by tf.
+Exactly DuckDB-oracle-able (gate query q_tfidf_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.functions.text import tokens
+from json_schema_py_spark.util import ensure_parallelism
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rank) — each document's top ``k``
+    terms by tf-idf (rank 1 = most salient; ties break by term ASC, so
+    two runs always pick the same terms). Terms appearing in fewer than
+    ``min_df`` documents are excluded BEFORE ranking (hapax noise)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+            round_to,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

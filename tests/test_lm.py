@@ -105,3 +105,44 @@ def test_lm_garbage_scores_worse_than_natural(spark):
     nat = [rows[i] for i in rows if i < 1000 and rows[i] is not None]
     gar = [rows[i] for i in rows if i >= 1000 and rows[i] is not None]
     assert sum(nat) / len(nat) < sum(gar) / len(gar)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """TF-IDF against hand math: smoothed idf, deterministic tie-break,
+    min_df exclusion, exact top-k per doc."""
+    import pytest as _pytest
+
+    from json_schema_py_spark.operators.keywords import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    N = 3
+    idf = lambda df_: math.log((1 + N) / (1 + df_)) + 1
+    r6 = lambda x: round(x, 6)
+    # doc 1: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2; common tf=1 df=3
+    assert got[(1, 1)] == ("apple", 2, 1, r6(2 * idf(1)))
+    assert got[(1, 2)] == ("banana", 1, 2, r6(idf(2)))
+    # doc 2: banana and cherry tie (tf=1, df=2) -> term ASC breaks it
+    assert got[(2, 1)] == ("banana", 1, 2, r6(idf(2)))
+    assert got[(2, 2)] == ("cherry", 1, 2, r6(idf(2)))
+    # doc 3: cherry tf=2 first, then common
+    assert got[(3, 1)] == ("cherry", 2, 2, r6(2 * idf(2)))
+    assert got[(3, 2)] == ("common", 1, 3, r6(idf(3)))
+
+    # min_df=2 excludes the hapax 'apple' entirely
+    no_hapax = {r["term"] for r in tfidf_top_terms(docs, k=3, min_df=2).collect()}
+    assert "apple" not in no_hapax
+    with _pytest.raises(ValueError, match="k must"):
+        tfidf_top_terms(docs, k=0)
+    with _pytest.raises(ValueError, match="min_df"):
+        tfidf_top_terms(docs, min_df=0)
