@@ -644,9 +644,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.count()  # materialize before dropping the parent
             new.unpersist()
             if changed == 0:
+                # the returned frame rides the final persisted labels —
+                # one more action pays nothing; release via Spark's LRU
+                # or spark.catalog.clearCache()
                 return labels.select(
                     F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
                 )
+        labels.unpersist()  # review r05: don't leak the cache on the raise path
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
             "a component with diameter > max_iters; raise the bound"

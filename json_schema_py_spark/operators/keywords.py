@@ -50,14 +50,26 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    n_docs = docs.select(F.col(id_col)).distinct().count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
-            round_to,
-        ),
+    # N folded into the plan as a broadcast 1-row aggregate — an eager
+    # .count() would scan the corpus once at plan-build time and again in
+    # the real job (review r05)
+    n_row = F.broadcast(
+        docs.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_N"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n_row)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("_N")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -115,8 +115,11 @@ def score_perplexity(
     and the final per-doc aggregation."""
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
-    # V = unigram TYPE count (incl. <unk>) — one bounded action
-    v_types = unigrams.count()
+    # V = unigram TYPE count (incl. <unk>), folded into the plan as a
+    # broadcast 1-row aggregate — an eager .count() here re-executed the
+    # whole train lineage (full corpus tokenize + vocab + groupBy) once
+    # at plan-build time and again inside the scoring job (review r05)
+    v_row = F.broadcast(unigrams.agg(F.count(F.lit(1)).cast("double").alias("_V")))
     stream = _mapped_token_stream(docs, vocab, text_col, id_col)
     wd = Window.partitionBy("doc_id").orderBy("pos")
     pairs = stream.withColumn("w2", F.lead("w").over(wd)).where(
@@ -129,12 +132,13 @@ def score_perplexity(
     scored = (
         pairs.join(F.broadcast(bi), ["w", "w2"], "left")
         .join(F.broadcast(uni), "w", "left")
+        .crossJoin(v_row)
         .select(
             "doc_id",
             (
                 F.log(
                     (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(k * v_types))
+                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(k) * F.col("_V"))
                 )
             ).alias("_lp"),
         )

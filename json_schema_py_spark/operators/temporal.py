@@ -66,6 +66,11 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         rpay,
+    ).where(
+        # a NULL-timestamp right row can never satisfy right_ts <= left_ts,
+        # but NULLS-FIRST ASC ordering would otherwise make it the carried
+        # match for left rows with no genuine predecessor (review r05)
+        F.col("_ts").isNotNull()
     )
     lpay = F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")
     l = left.select(

@@ -1371,8 +1371,14 @@ def _emit_dialect_warnings(schema: Any) -> None:
                 pass
 
         # keys whose VALUES are data, not schema: a 'pattern' key inside a
-        # const/enum/default/examples literal is not a regex (ADVICE r04)
+        # const/enum/default/examples literal is not a regex (ADVICE r04).
+        # Context matters (review r05): the skip applies only where the
+        # containing dict IS a schema — the keys of properties/
+        # patternProperties/$defs/definitions are arbitrary NAMES (a
+        # property legitimately called "default" holds a subschema), so
+        # those values walk as schemas without the key filter.
         _DATA_KEYS = ("const", "enum", "default", "examples")
+        _NAME_MAPS = ("properties", "patternProperties", "$defs", "definitions")
 
         def walk(node: Any) -> None:
             if isinstance(node, dict):
@@ -1385,7 +1391,10 @@ def _emit_dialect_warnings(schema: Any) -> None:
                         if isinstance(p, str):
                             check(p, "patternProperties")
                 for k, v in node.items():
-                    if k not in _DATA_KEYS:
+                    if k in _NAME_MAPS and isinstance(v, dict):
+                        for sub in v.values():
+                            walk(sub)
+                    elif k not in _DATA_KEYS:
                         walk(v)
             elif isinstance(node, list):
                 for v in node:

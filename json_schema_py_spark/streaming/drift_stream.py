@@ -106,6 +106,7 @@ def streaming_psi_from_log(
     watermark: str = "10 minutes",
     eps: float = 1e-6,
     round_to: int = 6,
+    exclude_run: str | None = None,
 ) -> DataFrame:
     """streaming_psi with its baseline + bucket bounds pulled from a
     plans/stats_history.HistogramLog — the live-ingest arm of the
@@ -114,11 +115,16 @@ def streaming_psi_from_log(
     with the bounds guaranteed identical on both sides because both read
     ``log.bounds``. Raises when the log has no snapshot for ``col`` yet —
     a first run has no honest baseline (same contract as
-    latest_baselines' empty dict)."""
+    latest_baselines' empty dict).
+
+    ``exclude_run`` passes through to latest_baselines — a RETRIED run_id
+    whose earlier attempt already appended its snapshot must not baseline
+    against itself (the batch loop's invariant; review r05 caught the
+    streaming arm silently lacking it)."""
     if col not in log.bounds:
         raise ValueError(f"column {col!r} is not watched by this HistogramLog")
     lo, hi, nbins = log.bounds[col]
-    baselines = log.latest_baselines()
+    baselines = log.latest_baselines(exclude_run=exclude_run)
     if col not in baselines:
         raise ValueError(
             f"HistogramLog at {log.path} has no snapshot for {col!r} yet — "
@@ -140,6 +146,7 @@ def streaming_drift_violations(
     watermark: str = "10 minutes",
     eps: float = 1e-6,
     round_to: int = 6,
+    exclude_run: str | None = None,
 ) -> DataFrame:
     """Per-window DISTRIBUTION_DRIFT violation rows, mirroring
     run_validation's batch contract exactly — (doc_id NULL, rule_id,
@@ -149,7 +156,8 @@ def streaming_drift_violations(
     matches the log's latest snapshot emits nothing, exactly as the batch
     loop's psi_drift_violation emits no row."""
     pw = streaming_psi_from_log(
-        stream, col, log, window_duration, ts_col, watermark, eps, round_to
+        stream, col, log, window_duration, ts_col, watermark, eps, round_to,
+        exclude_run,
     )
     return pw.where(F.col("psi") > threshold).select(
         "window_start",

@@ -118,7 +118,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", replication: int = 400) -> int:
                 "planted_truth_pairs": n_truth,
                 "lsh_pairs_found_total": n_pairs,
                 "planted_pairs_found": found_planted,
-                "planted_pair_recall": round(recall, 4),
+                "planted_pair_recall": round(recall, 4) if recall is not None else None,
                 "minhash_lsh_wall_sec": round(lsh_sec, 1),
                 "curation_wall_sec": round(cur_sec, 1),
                 "curation_verdict_rows": n_verdicts,

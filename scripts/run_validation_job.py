@@ -123,6 +123,7 @@ def main(sf_dir: str, out_dir: str, run_id: str = "run-0") -> int:
         pw = streaming_psi_from_log(
             sw, "n_spans", hlog,
             window_duration="10 minutes", watermark="1 second",
+            exclude_run=run_id,
         )
         (
             pw.writeStream.format("parquet")

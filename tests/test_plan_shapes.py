@@ -423,3 +423,15 @@ def test_dialect_warnings_skip_data_positions():
         warnings.simplefilter("always")
         C._emit_dialect_warnings(mixed)
     assert any(issubclass(x.category, RegexDialectWarning) for x in w)
+
+    # review r05: a PROPERTY literally named 'default'/'enum' holds a
+    # subschema — its patterns must still warn (the data-key skip applies
+    # only in schema positions, and properties/$defs keys are names)
+    named = {
+        "properties": {"default": {"pattern": "(?P<x>a)"}},
+        "$defs": {"enum": {"pattern": "(?P<y>b)"}},
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C._emit_dialect_warnings(named)
+    assert sum(issubclass(x.category, RegexDialectWarning) for x in w) >= 2

@@ -184,3 +184,19 @@ def test_temporal_plan_shapes(spark):
     p3 = time_rollup(ev, "ts", "value", ("hour", "day"))._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in p3                       # grouping sets, one pass
     assert p3.count("Scan parquet") == 1        # not one scan per granularity
+
+
+def test_as_of_join_null_right_ts_never_matches(spark):
+    """Review r05: a NULL-timestamp right row sorts NULLS FIRST and was
+    carried as the 'most recent' match for left rows with no genuine
+    predecessor — it must never match (NULL <= ts is not true)."""
+    from json_schema_py_spark.operators.temporal import as_of_join
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, "k", t0)], "lid long, key string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "k", None, 1.0), (11, "k", t0 + timedelta(seconds=5), 2.0)],
+        "rid long, key string, ts timestamp, v double",
+    )
+    got = as_of_join(left, right, ["key"]).collect()
+    assert [(r["lid"], r["asof_rid"]) for r in got] == [(1, None)]
