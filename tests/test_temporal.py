@@ -200,3 +200,76 @@ def test_as_of_join_null_right_ts_never_matches(spark):
     )
     got = as_of_join(left, right, ["key"]).collect()
     assert [(r["lid"], r["asof_rid"]) for r in got] == [(1, None)]
+
+
+def test_as_of_join_tolerance_rejects_ts_in_keys(spark):
+    """ADVICE r05: with tolerance, right_ts must not be a key column —
+    the matched-row timestamp lives in the payload, which excludes keys.
+    Fail loudly instead of an AnalysisException deep in the select."""
+    from json_schema_py_spark.operators.temporal import as_of_join
+
+    l = spark.createDataFrame([(1, 1.0)], "k int, ts double")
+    r = spark.createDataFrame([(1, 1.0, "x")], "k int, ts double, v string")
+    with pytest.raises(ValueError, match="key column"):
+        as_of_join(l, r, ["k", "ts"], tolerance_seconds=5.0)
+    # without tolerance the same key set is legal (payload never read back)
+    out = as_of_join(l, r, ["k", "ts"]).collect()
+    assert len(out) == 1 and out[0]["asof_v"] == "x"
+
+
+def test_as_of_join_map_payload_is_orderable(spark):
+    """ADVICE r05: a map-typed right payload column used to break the
+    tie-break ordering (maps are unorderable) — now it orders by its
+    to_json form and the join still works."""
+    from json_schema_py_spark.operators.temporal import as_of_join
+
+    l = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    r = (
+        spark.createDataFrame([(1, 5.0, "a", 1), (1, 5.0, "b", 2)],
+                              "k int, ts double, mk string, mv int")
+        .select("k", "ts", F.create_map("mk", "mv").alias("m"))
+    )
+    out = as_of_join(l, r, ["k"]).collect()
+    assert len(out) == 1
+    # ties at ts=5.0 resolve content-deterministically: the LAST row in
+    # to_json order ({"a":1} < {"b":2}) is carried
+    assert out[0]["asof_m"] == {"b": 2}
+
+
+def test_interval_join_invalid_audit(spark):
+    """ADVICE r05: invalid intervals (start > end, NULL endpoint) are
+    excluded from the join but never silently — the invalid audit holds
+    exactly them, and together with the oversized audit every input
+    interval is accounted for."""
+    from json_schema_py_spark.operators.temporal import (
+        interval_join,
+        interval_join_invalid,
+        interval_join_oversized,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [
+            ("ok", t0, t0 + timedelta(hours=1)),
+            ("backwards", t0 + timedelta(hours=2), t0),
+            ("null_end", t0, None),
+            ("huge", t0, t0 + timedelta(days=5000)),
+        ],
+        "interval_id string, start timestamp, end timestamp",
+    )
+    ev = spark.createDataFrame(
+        [("e1", t0 + timedelta(minutes=30))], "event_id string, ts timestamp"
+    )
+    joined = interval_join(ev, iv, max_buckets_per_interval=10_000)
+    assert {r["interval_id"] for r in joined.collect()} == {"ok"}
+    invalid = {r["interval_id"] for r in interval_join_invalid(iv).collect()}
+    assert invalid == {"backwards", "null_end"}
+    oversized = {
+        r["interval_id"]
+        for r in interval_join_oversized(iv, max_buckets_per_interval=10_000).collect()
+    }
+    assert oversized == {"huge"}
+    # full accounting: joined-eligible + invalid + oversized = all inputs
+    assert invalid | oversized | {"ok"} == {
+        r["interval_id"] for r in iv.collect()
+    }
