@@ -79,20 +79,22 @@ def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_validate_media_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms in one gate query (round-6 consolidation — the driver
+    records at most 50 CORRECTNESS rows, so same-fixture variants merge
+    into multi-arm queries with an ``arm`` discriminator; VERDICT r05
+    item 1): ``basic`` is the plain anyOf failure set; ``verbose`` is
+    round-2 verbose mode on the Column path, where a failed anyOf emits
+    per-branch anyOf[i]:-prefixed details after ANY_OF_NO_MATCH
+    (reference logical.py:206-222)."""
     from json_schema_py_spark.schema.compiler import validate
     from json_schema_py_spark.sources.synth import MEDIA_DEPENDENCY_RULESET, spans_documents
 
-    return validate(spans_documents(spark, sf_dir), MEDIA_DEPENDENCY_RULESET)
-
-
-def q_validate_media_dep_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-2 verbose mode on the Column path: a failed anyOf emits
-    per-branch anyOf[i]:-prefixed details after ANY_OF_NO_MATCH (reference
-    logical.py:206-222)."""
-    from json_schema_py_spark.schema.compiler import validate
-    from json_schema_py_spark.sources.synth import MEDIA_DEPENDENCY_RULESET, spans_documents
-
-    return validate(spans_documents(spark, sf_dir), MEDIA_DEPENDENCY_RULESET, verbose=True)
+    sd = spans_documents(spark, sf_dir)
+    basic = validate(sd, MEDIA_DEPENDENCY_RULESET).withColumn("arm", F.lit("basic"))
+    verbose = validate(sd, MEDIA_DEPENDENCY_RULESET, verbose=True).withColumn(
+        "arm", F.lit("verbose")
+    )
+    return basic.unionByName(verbose)
 
 
 def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,14 +162,6 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi(cur, base)
 
 
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from json_schema_py_spark.functions.text import text_fingerprint
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", text_fingerprint(F.col("text")).alias("fp")
-    )
-
-
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.functions.text import lang_id, quality_metrics
 
@@ -186,15 +180,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-doc token/fingerprint signals in ONE projection (round-6
+    consolidation: absorbs the former q_fingerprints — same fixture,
+    same projection family, one CORRECTNESS row)."""
     from json_schema_py_spark.functions.text import (
         bpe_ish_token_count,
         regex_token_count,
         rolling_fingerprint,
+        text_fingerprint,
         token_count,
     )
 
     return _docs(spark, sf_dir).select(
         "doc_id",
+        text_fingerprint(F.col("text")).alias("fp"),
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
         regex_token_count(F.col("text")).alias("regex_tokens"),
@@ -203,39 +202,70 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-2: GPT-style sequence packing — every doc's position in the
-    global token concatenation and its fixed-window assignment, computed via
-    the two-pass distributed prefix sum (operators/packing.py); the oracle
-    is the naive global window."""
+    """TWO arms (round-6 consolidation): ``long_id`` is round-2 GPT-style
+    sequence packing — every doc's position in the global token
+    concatenation and its fixed-window assignment via the two-pass
+    distributed prefix sum (operators/packing.py). ``str_id`` (round-3,
+    VERDICT r02 item 9) re-runs it over a STRING-keyed corpus whose ids
+    'd<doc_id>' sort LEXICOGRAPHICALLY (d1 < d10 < d2 …), exercising the
+    order-preserving surrogate bucketing. Both oracles are the naive
+    global window; doc_id is normalized to string so the arms share one
+    schema."""
     from json_schema_py_spark.operators.packing import assign_token_spans
 
-    return assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
-
-
-def q_token_packing_str(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3: sequence packing over a STRING-keyed corpus (VERDICT item
-    9) — ids 'd<doc_id>' sort LEXICOGRAPHICALLY (d1 < d10 < d2 …), so this
-    exercises the order-preserving surrogate bucketing, not just a numeric
-    relabel; the oracle is the naive global window ordered by the string."""
-    from json_schema_py_spark.operators.packing import assign_token_spans
-
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    payload = ["n_tokens", "start_tok", "first_pack", "last_pack"]
+    num = assign_token_spans(d, max_tokens=512).select(
+        F.lit("long_id").alias("arm"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *payload,
+    )
+    ds = d.select(
         F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
         "text",
     )
-    return assign_token_spans(d, max_tokens=512)
-
-
-def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3: quality-first selection to a global token budget (the
-    data-mixing primitive) via the two-pass distributed prefix sum ordered
-    by (quality DESC, id); n_chars stands in as the quality score. Oracle
-    is the naive global window."""
-    from json_schema_py_spark.operators.packing import select_to_token_budget
-
-    return select_to_token_budget(
-        _docs(spark, sf_dir), budget_tokens=10000, quality_col="n_chars"
+    s = assign_token_spans(ds, max_tokens=512).select(
+        F.lit("str_id").alias("arm"), "doc_id", *payload
     )
+    return num.unionByName(s)
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms (round-6 consolidation): ``budget`` is round-3
+    quality-first selection to a global token budget via the two-pass
+    distributed prefix sum ordered by (quality DESC, id) — n_chars stands
+    in as the quality score. ``mixture`` is round-4 data mixing: fill a
+    3000-token budget at weights src0:2, src1:1, src2:1 with
+    best-quality-first per-source prefixes; docs from unlisted sources
+    come back keep=False/NULL. Oracles are the naive (per-source)
+    windows; the budget arm carries source=NULL."""
+    from json_schema_py_spark.operators.packing import (
+        select_mixture,
+        select_to_token_budget,
+    )
+
+    budget = select_to_token_budget(
+        _docs(spark, sf_dir), budget_tokens=10000, quality_col="n_chars"
+    ).select(
+        F.lit("budget").alias("arm"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        "n_tokens",
+        "cum_tokens",
+        "keep",
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    mixture = select_mixture(
+        d, 3000, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, quality_col="n_chars"
+    ).select(
+        F.lit("mixture").alias("arm"),
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        "keep",
+    )
+    return budget.unionByName(mixture)
 
 
 def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,19 +275,6 @@ def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = assign_token_spans(_docs(spark, sf_dir), max_tokens=512)
     return pack_summary(spans, max_tokens=512)
-
-
-def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4: data mixing — fill a 3000-token budget at weights
-    src0:2, src1:1, src2:1 with best-quality-first (n_chars) per-source
-    prefixes; docs from unlisted sources come back keep=False/NULL.
-    Oracle: per-source naive windows with the same budgets."""
-    from json_schema_py_spark.operators.packing import select_mixture
-
-    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
-    return select_mixture(
-        d, 3000, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, quality_col="n_chars"
-    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,55 +380,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5: deterministic Bernoulli-by-hash sample — membership is a
-    pure function of the row (seeded md5 < fraction x 2^60), zero
-    shuffle, layout-independent, monotone in fraction. DuckDB recomputes
-    every kept row with the identical arithmetic."""
-    from json_schema_py_spark.operators.sampling import hash_sample
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms (round-6 consolidation, both round-5 operators):
+    ``hash`` is the deterministic Bernoulli-by-hash sample — membership
+    a pure function of the row (seeded md5 < fraction x 2^60), zero
+    shuffle, layout-independent, monotone in fraction. ``stratified`` is
+    the exact-n-per-stratum sample — rank by (seeded hash, id) within
+    each stratum, keep the first 25; output bounded at strata x n at any
+    corpus size. DuckDB recomputes both with identical arithmetic."""
+    from json_schema_py_spark.operators.sampling import hash_sample, stratified_sample
 
-    return hash_sample(_docs(spark, sf_dir), 0.2, seed="r5").select(
-        "doc_id", "source"
+    h = hash_sample(_docs(spark, sf_dir), 0.2, seed="r5").select(
+        F.lit("hash").alias("arm"), "doc_id", "source"
     )
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5: exact-n-per-stratum deterministic sample — rank by
-    (seeded hash, id) within each stratum, keep the first 25; output
-    bounded at strata x n at any corpus size."""
-    from json_schema_py_spark.operators.sampling import stratified_sample
-
-    return stratified_sample(_docs(spark, sf_dir), "source", 25, seed="r5").select(
-        "doc_id", "source"
+    s = stratified_sample(_docs(spark, sf_dir), "source", 25, seed="r5").select(
+        F.lit("stratified").alias("arm"), "doc_id", "source"
     )
+    return h.unionByName(s)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3: test-set decontamination — corpus docs sharing ≥3 distinct
-    8-gram shingles with a benchmark item (benchmark = docs 0-9 replayed as
-    eval items, so contamination is planted by construction); oracle is
-    brute-force list_intersect over the same shingle definition."""
-    from json_schema_py_spark.operators.contamination import contamination_hits
+    """THREE arms (round-6 consolidation), all against the same planted
+    benchmark (docs 0-9 replayed as eval items with ids +900000):
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    bench = d.where(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 900000).alias("bench_id"), "text"
-    )
-    return contamination_hits(d, bench, shingle_k=8, min_shared=3)
+    ``exact`` (round-3) — corpus docs sharing ≥3 distinct 8-gram shingles
+    with a benchmark item; oracle is brute-force list_intersect.
 
-
-def q_contamination_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 (VERDICT r04 item 7): CMS-BACKED hot-shingle filtering —
-    the exact per-benchmark corpus counting pass replaced by point lookups
-    against the reusable corpus shingle sketch (corpus_shingle_cms, built
-    once per corpus snapshot; bounded depth×width rows at any scale).
+    ``cms`` (round-5, VERDICT r04 item 7) — CMS-BACKED hot-shingle
+    filtering: the exact per-benchmark corpus counting pass replaced by
+    point lookups against the reusable corpus shingle sketch
+    (corpus_shingle_cms; bounded depth×width rows at any scale).
     width=1024/depth=2 with cap=30 forces GENUINE sketch-collision
-    filtering at this corpus size (est ≈ true + bucket load). The whole
-    composition is deterministic seeded-md5 arithmetic, so DuckDB
-    recomputes it EXACTLY: bucket counts → min-over-rows estimates → cap
-    filter → hit counts over kept shingles. est ≥ true (CMS never
-    undercounts) keeps the work bound guaranteed; the overdrop audit is
-    pinned in tests/test_contamination.py."""
+    filtering at this corpus size. Deterministic seeded-md5 arithmetic
+    end to end, so DuckDB recomputes EXACTLY: bucket counts →
+    min-over-rows estimates → cap filter → hit counts over kept shingles.
+    est ≥ true keeps the work bound; the overdrop audit is pinned in
+    tests/test_contamination.py.
+
+    ``norm`` (round-4, VERDICT r03 item 2) — NORMALIZED decontamination
+    at the 13-gram convention: the benchmark quotes docs 0-9 with hostile
+    casing/punctuation (uppercased, comma after every word), which raw
+    shingling cannot match; normalize=True canonicalizes both sides so
+    every plant is caught."""
     from json_schema_py_spark.operators.contamination import (
         contamination_hits,
         corpus_shingle_cms,
@@ -421,28 +431,22 @@ def q_contamination_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 900000).alias("bench_id"), "text"
     )
-    cms = corpus_shingle_cms(d, shingle_k=8, width=1024, depth=2)
-    return contamination_hits(
-        d, bench, shingle_k=8, min_shared=1, max_shingle_hits=30,
-        shingle_cms=cms, cms_width=1024, cms_depth=2,
+    exact = contamination_hits(d, bench, shingle_k=8, min_shared=3).select(
+        F.lit("exact").alias("arm"), "doc_id", "bench_id", "n_shared"
     )
-
-
-def q_contamination_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4 (VERDICT r03 item 2): NORMALIZED decontamination at the
-    13-gram convention — the benchmark quotes docs 0-9 with hostile
-    casing/punctuation (uppercased, comma after every word), which raw
-    shingling cannot match (pinned in tests/test_contamination.py);
-    normalize=True canonicalizes both sides so every plant is caught.
-    Oracle recomputes with the identical normalization in DuckDB."""
-    from json_schema_py_spark.operators.contamination import contamination_hits
-
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    bench = d.where(F.col("doc_id") < 10).select(
+    cms_sketch = corpus_shingle_cms(d, shingle_k=8, width=1024, depth=2)
+    cms = contamination_hits(
+        d, bench, shingle_k=8, min_shared=1, max_shingle_hits=30,
+        shingle_cms=cms_sketch,
+    ).select(F.lit("cms").alias("arm"), "doc_id", "bench_id", "n_shared")
+    bench_norm = d.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 900000).alias("bench_id"),
         F.regexp_replace(F.upper(F.col("text")), " ", ", ").alias("text"),
     )
-    return contamination_hits(d, bench, shingle_k=13, min_shared=1, normalize=True)
+    norm = contamination_hits(
+        d, bench_norm, shingle_k=13, min_shared=1, normalize=True
+    ).select(F.lit("norm").alias("arm"), "doc_id", "bench_id", "n_shared")
+    return exact.unionByName(cms).unionByName(norm)
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,45 +522,61 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from json_schema_py_spark.operators.dedup import simhash
+    """TWO arms (round-6 consolidation), normalized to (arm, a, b, v):
 
-    return simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100))
+    ``sig`` — the 64-bit SimHash fingerprints themselves (a=id, b=NULL,
+    v=simhash).
 
+    ``pairs`` (round-2) — the Hamming-ball pair join (block-partition
+    pigeonhole, exact recall at distance ≤ k); oracle is brute-force
+    bit_count(xor) over the same deterministic fingerprints (a=id_a,
+    b=id_b, v=hamming). Round-3: 64-bit fingerprints make organic ≤3-bit
+    pairs rare, so near-dups are PLANTED: each doc_id < 30 gets a clone
+    with one appended token — the majority vote moves by ≤1 per bit,
+    flipping only boundary bits."""
+    from json_schema_py_spark.operators.dedup import simhash, simhash_near_pairs
 
-def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-2: SimHash Hamming-ball pair join (block-partition pigeonhole,
-    exact recall at distance ≤ k) — oracle is brute-force bit_count(xor)
-    over the same deterministic fingerprints. Round-3: 64-bit fingerprints
-    (scale fix) make organic ≤3-bit pairs rare, so near-dups are PLANTED:
-    each doc_id < 30 gets a clone with one appended token — the majority
-    vote moves by ≤1 per bit, flipping only boundary bits."""
-    from json_schema_py_spark.operators.dedup import simhash_near_pairs
-
+    sig = simhash(_docs(spark, sf_dir).where(F.col("doc_id") < 100)).select(
+        F.lit("sig").alias("arm"),
+        F.col("id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").alias("v"),
+    )
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 150).select("doc_id", "text")
     extra = d.where(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
     )
-    return simhash_near_pairs(d.unionByName(extra), max_hamming=3)
+    pairs = simhash_near_pairs(d.unionByName(extra), max_hamming=3).select(
+        F.lit("pairs").alias("arm"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    return sig.unionByName(pairs)
 
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from json_schema_py_spark.operators.similarity import brute_force_topk
+def q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms (round-6 consolidation): ``brute`` is float cosine top-k;
+    ``quantized`` (round-3) is cosine top-k over int8-QUANTIZED
+    embeddings (4× smaller on the lake — the storage-honest
+    candidate-generation path); the oracle replicates the exact
+    quantize→dequantize→cosine arithmetic in DuckDB (floor-half-up on
+    both sides because round() semantics disagree on negative halves)."""
+    from json_schema_py_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
 
     e = _emb(spark, sf_dir)
-    return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
-
-
-def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3: cosine top-k over int8-QUANTIZED embeddings (4× smaller on
-    the lake — the storage-honest candidate-generation path); the oracle
-    replicates the exact quantize→dequantize→cosine arithmetic in DuckDB
-    (floor-half-up is used on both sides because round() semantics
-    disagree on negative halves)."""
-    from json_schema_py_spark.operators.similarity import quantized_topk
-
-    e = _emb(spark, sf_dir)
-    return quantized_topk(e, e.where(F.col("vec_id") < 10), k=5)
+    q = e.where(F.col("vec_id") < 10)
+    brute = brute_force_topk(e, q, k=5).select(
+        F.lit("brute").alias("arm"), "query_id", "neighbor_id", "score", "rank"
+    )
+    quant = quantized_topk(e, q, k=5).select(
+        F.lit("quantized").alias("arm"), "query_id", "neighbor_id", "score", "rank"
+    )
+    return brute.unionByName(quant)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,14 +814,43 @@ def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- non-SQL-expressible ops
 
 
-def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + GK quantile sketches, gate-checked against their hard
-    error bounds (the sketch VALUES are approximate by design, so the oracle
-    asserts the published contracts instead): approx_count_distinct(rsd=0.05)
-    within 15% of the exact count, each percentile_approx(accuracy=10000)
-    value inside the exact [q-0.01, q+0.01] rank envelope (GK guarantees rank
-    error ≤ n/accuracy = 0.0001 ≪ 0.01). A bound violation flips a boolean
-    and the gate hash mismatches."""
+def q_sketch_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms (round-6 consolidation), normalized to
+    (arm, k1, k2, n, nd_ok, q25_ok, q50_ok, q75_ok):
+
+    ``bounds`` — HLL distinct + GK quantile sketches, gate-checked against
+    their hard error bounds (the sketch VALUES are approximate by design,
+    so the oracle asserts the published contracts instead):
+    approx_count_distinct(rsd=0.05) within 15% of the exact count, each
+    percentile_approx(accuracy=10000) value inside the exact
+    [q-0.01, q+0.01] rank envelope (GK guarantees rank error ≤
+    n/accuracy = 0.0001 ≪ 0.01). A bound violation flips a boolean and
+    the gate hash mismatches. k1=column, k2=NULL, n=n_rows.
+
+    ``cms`` (round-4) — count-min sketch over the corpus token stream as
+    a TABLE (depth 3 x width 64): the sketch STRUCTURE is exactly
+    verifiable even though estimates are approximate — every
+    (row, bucket) count recomputed by DuckDB with the identical seeded
+    md5 hash. k1=row, k2=bucket, n=cnt, bound booleans NULL. Estimate
+    contracts (est >= true, bounded overestimate) stay pinned in
+    tests/test_engine_ops.py."""
+    from json_schema_py_spark.operators.stats import cms_table, column_stats
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    nb = F.lit(None).cast("boolean")
+    cms = cms_table(toks, "tok", width=64, depth=3).select(
+        F.lit("cms").alias("arm"),
+        F.col("row").cast("string").alias("k1"),
+        F.col("bucket").cast("string").alias("k2"),
+        F.col("cnt").cast("long").alias("n"),
+        nb.alias("nd_ok"), nb.alias("q25_ok"), nb.alias("q50_ok"), nb.alias("q75_ok"),
+    )
+    return _sketch_bounds_arm(spark, sf_dir).unionByName(cms)
+
+
+def _sketch_bounds_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_py_spark.operators.stats import column_stats
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -844,8 +893,10 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return s.crossJoin(ex).select(
-        "column",
-        F.col("n_rows"),
+        F.lit("bounds").alias("arm"),
+        F.col("column").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_rows").cast("long").alias("n"),
         (F.abs(F.col("n_distinct") - xnd) <= 0.15 * xnd).alias("nd_ok"),
         *q_ok,
     )
@@ -855,7 +906,7 @@ def _recall_bound(truth: DataFrame, approx: DataFrame, floor: float) -> DataFram
     """Aggregate recall of ``approx`` against ``truth`` (both keyed on
     query_id, neighbor_id), emitted as a gate-hashable boolean: if recall
     drops below ``floor`` the hash mismatches. Truth comes from the
-    brute-force path, itself 3/3 oracle-verified via q_ann_topk."""
+    brute-force path, itself 3/3 oracle-verified via q_ann_exact."""
     hit = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
     joined = truth.select("query_id", "neighbor_id").join(
         F.broadcast(hit), ["query_id", "neighbor_id"], "left"
@@ -868,70 +919,84 @@ def _recall_bound(truth: DataFrame, approx: DataFrame, floor: float) -> DataFram
     )
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN, gate-checked as a recall bound: approximate by
-    design, so the oracle asserts recall@5 ≥ floor vs the (oracle-verified)
-    brute-force truth rather than exact neighbor sets."""
-    from json_schema_py_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+def q_ann_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO arms (round-6 consolidation; the metric column already
+    discriminates): LSH-bucketed and IVF-bucketed ANN, each gate-checked
+    as a recall bound — approximate by design, so the oracle asserts
+    recall@5 ≥ floor vs the (oracle-verified) brute-force truth rather
+    than exact neighbor sets."""
+    from json_schema_py_spark.operators.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+        ivf_topk,
+    )
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10)
     truth = brute_force_topk(e, q, k=5)
-    approx = ann_lsh_topk(e, q, dim=64, k=5, n_planes=8, probe_radius=2)
-    return _recall_bound(truth, approx, floor=0.3).select(
-        F.lit("ann_lsh_recall_at_5").alias("metric"), "n_truth", "meets_floor"
-    )
+    lsh = _recall_bound(
+        truth, ann_lsh_topk(e, q, dim=64, k=5, n_planes=8, probe_radius=2), floor=0.3
+    ).select(F.lit("ann_lsh_recall_at_5").alias("metric"), "n_truth", "meets_floor")
+    ivf = _recall_bound(
+        truth, ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4), floor=0.4
+    ).select(F.lit("ann_ivf_recall_at_5").alias("metric"), "n_truth", "meets_floor")
+    return lsh.unionByName(ivf)
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN, gate-checked as a recall bound (see q_ann_lsh)."""
-    from json_schema_py_spark.operators.similarity import brute_force_topk, ivf_topk
-
-    e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < 10)
-    truth = brute_force_topk(e, q, k=5)
-    approx = ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4)
-    return _recall_bound(truth, approx, floor=0.4).select(
-        F.lit("ann_ivf_recall_at_5").alias("metric"), "n_truth", "meets_floor"
-    )
+def _media_feature_cols(prefix_arm: str):
+    return [
+        F.lit(prefix_arm).alias("arm"),
+        F.col("media_ref"),
+        F.col("mime"),
+    ]
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: payload attach + Arrow-batched feature extract.
-    The fake decoder is deterministic md5 arithmetic, so the full output has
-    an exact DuckDB oracle; features are flattened to scalar columns for the
-    gate canonicalizer."""
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE arms (round-6 consolidation), one (arm, media_ref, mime,
+    f0..f7) schema:
+
+    ``ppm`` (round-3) — REAL image decode: deterministic P6 images
+    (gradient pixels (x*3+s)%256 / (y*5+2s)%256 / (x+y+s)%256) generated
+    and decoded by the numpy PPM decoder; the oracle recomputes every
+    feature CLOSED-FORM over the pixel grid in SQL (means, population
+    luma std, max/min) — the decoder is proven against independent math,
+    not itself.
+
+    ``wav`` (round-4) — REAL audio decode: deterministic PCM16 WAVs
+    (integer sawtooth s_i = (i*(seed+3)) % 4096 - 2048) containerized as
+    RIFF and decoded by the numpy WAV parser; oracle recomputes every
+    feature closed-form over range(n).
+
+    ``fake`` — the multimodal PLUMBING gate (payload attach +
+    Arrow-batched feature extract); the fake decoder is deterministic
+    md5 arithmetic, exactly recomputed by the oracle."""
+    import pyspark.sql.types as T
+
+    from json_schema_py_spark.functions.text import stable_hash64
     from json_schema_py_spark.operators.multimodal import (
         FEATURE_DIM,
         attach_fake_payloads,
         extract_media_features,
+        make_ppm,
+        make_wav,
     )
     from json_schema_py_spark.sources.synth import media_dim
 
-    feats = extract_media_features(attach_fake_payloads(media_dim(spark)))
-    return feats.select(
-        "media_ref",
-        "mime",
-        *[
-            F.round(F.get(F.col("features"), i), 6).alias(f"f{i}")
-            for i in range(FEATURE_DIM)
-        ],
+    feat_cols = lambda: [  # noqa: E731 — per-arm fresh Column objects
+        F.round(F.get(F.col("features"), i), 6).alias(f"f{i}")
+        for i in range(FEATURE_DIM)
+    ]
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
     )
 
-
-def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3: REAL media decode gate — deterministic P6 images (gradient
-    pixels (x*3+s)%256 / (y*5+2s)%256 / (x+y+s)%256) are generated and
-    decoded by the numpy PPM decoder; the oracle recomputes every feature
-    CLOSED-FORM over the pixel grid in SQL (means, population luma std,
-    max/min). Proves the decoder against independent math, not itself."""
-    from json_schema_py_spark.functions.text import stable_hash64
-    from json_schema_py_spark.operators.multimodal import (
-        extract_media_features,
-        make_ppm,
-    )
-
-    media = spark.range(37).select(
+    # --- ppm arm
+    ppm_media = spark.range(37).select(
         F.concat(F.lit("m/"), F.col("id").cast("string")).alias("media_ref"),
         F.lit("image/x-portable-pixmap").alias("mime"),
         (F.pmod(stable_hash64(F.concat(F.lit("m/"), F.col("id").cast("string")), seed="w"), F.lit(12)) + 4).cast("int").alias("w"),
@@ -939,9 +1004,7 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(stable_hash64(F.concat(F.lit("m/"), F.col("id").cast("string")), seed="s"), F.lit(256)).cast("int").alias("seed"),
     )
 
-    import pyspark.sql.types as T
-
-    def gen(it):
+    def gen_ppm(it):
         for pdf in it:
             pdf = pdf.copy()
             pdf["payload"] = [
@@ -950,36 +1013,13 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pdf[["media_ref", "mime", "payload"]]
 
-    gen_schema = T.StructType(
-        [
-            T.StructField("media_ref", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    with_payload = media.mapInPandas(gen, gen_schema)
-    feats = extract_media_features(with_payload, decode="ppm")
-    return feats.select(
-        "media_ref",
-        *[F.round(F.get(F.col("features"), i), 6).alias(f"f{i}") for i in range(8)],
-    )
+    ppm = extract_media_features(
+        ppm_media.mapInPandas(gen_ppm, gen_schema), decode="ppm"
+    ).select(*_media_feature_cols("ppm"), *feat_cols())
 
-
-def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4: REAL audio decode gate — deterministic PCM16 WAVs (integer
-    sawtooth s_i = (i*(seed+3)) % 4096 - 2048) are generated, containerized
-    as RIFF, and decoded by the numpy WAV parser; the oracle recomputes
-    every feature CLOSED-FORM over range(n) in SQL (mean/rms/peak/zero-
-    crossings/population std). Decoder proven against independent math,
-    the q_media_ppm doctrine extended to audio."""
-    from json_schema_py_spark.functions.text import stable_hash64
-    from json_schema_py_spark.operators.multimodal import (
-        extract_media_features,
-        make_wav,
-    )
-
+    # --- wav arm
     ref = F.concat(F.lit("a/"), F.col("id").cast("string"))
-    media = spark.range(29).select(
+    wav_media = spark.range(29).select(
         ref.alias("media_ref"),
         F.lit("audio/wav").alias("mime"),
         (F.pmod(stable_hash64(ref, seed="n"), F.lit(400)) + 50).cast("int").alias("n"),
@@ -987,9 +1027,7 @@ def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(stable_hash64(ref, seed="s"), F.lit(97)).cast("int").alias("seed"),
     )
 
-    import pyspark.sql.types as T
-
-    def gen(it):
+    def gen_wav(it):
         for pdf in it:
             pdf = pdf.copy()
             pdf["payload"] = [
@@ -998,19 +1036,16 @@ def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pdf[["media_ref", "mime", "payload"]]
 
-    gen_schema = T.StructType(
-        [
-            T.StructField("media_ref", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    wav = extract_media_features(
+        wav_media.mapInPandas(gen_wav, gen_schema), decode="wav"
+    ).select(*_media_feature_cols("wav"), *feat_cols())
+
+    # --- fake-plumbing arm
+    fake = extract_media_features(attach_fake_payloads(media_dim(spark))).select(
+        F.lit("fake").alias("arm"), "media_ref", "mime", *feat_cols()
     )
-    with_payload = media.mapInPandas(gen, gen_schema)
-    feats = extract_media_features(with_payload, decode="wav")
-    return feats.select(
-        "media_ref",
-        *[F.round(F.get(F.col("features"), i), 6).alias(f"f{i}") for i in range(8)],
-    )
+
+    return ppm.unionByName(wav).unionByName(fake)
 
 
 def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,21 +1071,6 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift(spark.read.parquet(f"{sf_dir}/documents.parquet"), expected)
 
 
-def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4: count-min sketch over the corpus token stream as a TABLE
-    (depth 3 x width 64). The sketch STRUCTURE is exactly verifiable even
-    though its estimates are approximate: every (row, bucket) count is
-    recomputed by DuckDB with the identical seeded md5 hash. Estimate
-    contracts (est >= true count, bounded overestimate) are pinned in
-    tests/test_engine_ops.py."""
-    from json_schema_py_spark.operators.stats import cms_table
-
-    toks = _docs(spark, sf_dir).select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    return cms_table(toks, "tok", width=64, depth=3)
-
-
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition pass/fail rollup on a DURABLE partition key
     (src_id % 16 — content-derived, layout-independent), so DuckDB can
@@ -1070,11 +1090,15 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """48 gate queries (round-6 consolidation, VERDICT r05 item 1): the
+    driver records at most 50 CORRECTNESS rows, so same-fixture families
+    merged into multi-arm queries with an ``arm`` discriminator column —
+    every registered operator now gets a driver row every round. The
+    oracle SQL UNIONs the same arms with matching column names."""
     return {
         "q_validate_documents": q_validate_documents,
         "q_violations_diff": q_violations_diff,
         "q_validate_media_dep": q_validate_media_dep,
-        "q_validate_media_dep_verbose": q_validate_media_dep_verbose,
         "q_doc_verdicts": q_doc_verdicts,
         "q_partition_verdicts": q_partition_verdicts,
         "q_uniqueness": q_uniqueness,
@@ -1082,14 +1106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_column_stats": q_column_stats,
         "q_stats_lineitem": q_stats_lineitem,
         "q_psi_drift": q_psi_drift,
-        "q_fingerprints": q_fingerprints,
         "q_text_quality": q_text_quality,
         "q_token_counts": q_token_counts,
         "q_curation": q_curation,
         "q_token_packing": q_token_packing,
-        "q_token_packing_str": q_token_packing_str,
-        "q_token_budget": q_token_budget,
-        "q_mixture": q_mixture,
+        "q_token_budget_mixture": q_token_budget_mixture,
         "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1099,20 +1120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_hash_sample": q_hash_sample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_media_ppm": q_media_ppm,
-        "q_media_wav": q_media_wav,
+        "q_sampling": q_sampling,
+        "q_media_decode": q_media_decode,
         "q_contamination": q_contamination,
-        "q_contamination_cms": q_contamination_cms,
-        "q_contamination_norm": q_contamination_norm,
         "q_pii_scan": q_pii_scan,
         "q_domains": q_domains,
         "q_repetition": q_repetition,
         "q_simhash": q_simhash,
-        "q_simhash_near_pairs": q_simhash_near_pairs,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_quantized": q_ann_quantized,
+        "q_ann_exact": q_ann_exact,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_validate_lineitem": q_validate_lineitem,
         "q_validate_events_props": q_validate_events_props,
@@ -1127,12 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_sequence": q_span_sequence,
         "q_out_of_order": q_out_of_order,
         # approximate ops, gated via error-bound / recall-bound oracles:
-        "q_sketches": q_sketches,
-        "q_cms_tokens": q_cms_tokens,
+        "q_sketch_contracts": q_sketch_contracts,
         "q_schema_drift": q_schema_drift,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_media_features": q_media_features,
+        "q_ann_bounded": q_ann_bounded,
     }
 
 
@@ -1284,21 +1296,20 @@ FROM pk p FULL OUTER JOIN ck c
   ON p.doc_id IS NOT DISTINCT FROM c.doc_id
  AND p.rule_id = c.rule_id AND p.path = c.path
 """,
+        # two arms: 'basic' is the bare anyOf failure; 'verbose' adds the two
+        # branch-failure details for each plant-6 span (branch 0: kind
+        # 'media' fails the text enum; branch 1: media_ref is the planted
+        # NULL → required fails). Deep pointers kept (documented deviation
+        # from the reference's path truncation).
         "q_validate_media_dep": _IDS_CTE + """
-SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
-FROM ids WHERE p = 6
-""",
-        # verbose adds the two branch-failure details for each plant-6 span
-        # (branch 0: kind 'media' fails the text enum; branch 1: media_ref is
-        # the planted NULL → required fails). Deep pointers kept (documented
-        # deviation from the reference's path truncation).
-        "q_validate_media_dep_verbose": _IDS_CTE + """
-SELECT did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
+SELECT 'basic' AS arm, did AS doc_id, 'ANY_OF_NO_MATCH' AS rule_id, '/spans/0' AS path, '' AS observed
 FROM ids WHERE p = 6
 UNION ALL
-SELECT did, 'anyOf[0]:ENUM_MISMATCH', '/spans/0/kind', 'media' FROM ids WHERE p = 6
+SELECT 'verbose', did, 'ANY_OF_NO_MATCH', '/spans/0', '' FROM ids WHERE p = 6
 UNION ALL
-SELECT did, 'anyOf[1]:REQUIRED_PROPERTY_MISSING', '/spans/0/media_ref', 'None' FROM ids WHERE p = 6
+SELECT 'verbose', did, 'anyOf[0]:ENUM_MISMATCH', '/spans/0/kind', 'media' FROM ids WHERE p = 6
+UNION ALL
+SELECT 'verbose', did, 'anyOf[1]:REQUIRED_PROPERTY_MISSING', '/spans/0/media_ref', 'None' FROM ids WHERE p = 6
 """,
         "q_doc_verdicts": _IDS_CTE + """
 SELECT i AS src_id,
@@ -1367,11 +1378,6 @@ SELECT ROUND(SUM(
 ), 6) AS psi
 FROM h, t
 """,
-        "q_fingerprints": """
-SELECT doc_id,
-  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-FROM documents
-""",
         "q_text_quality": f"""
 WITH base AS (
   SELECT doc_id, text, {_TOKS} AS toks FROM documents
@@ -1392,7 +1398,9 @@ FROM base
 """,
         "q_token_counts": f"""
 WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-SELECT doc_id, len(toks) AS n_tokens,
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+  len(toks) AS n_tokens,
   list_sum(list_transform(toks, t -> CEIL(length(t) / 4.0)::BIGINT))::BIGINT AS bpe_tokens,
   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens,
   list_reduce(
@@ -1449,42 +1457,30 @@ FROM (
   FROM staged
 ) s
 """,
+        # two arms: 'long_id' ranks numerically; 'str_id' over the
+        # lexicographic 'd<id>' surrogate keys (doc_id normalized VARCHAR)
         "q_token_packing": f"""
 WITH base AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
 c AS (
   SELECT doc_id, n,
     SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
   FROM base
-)
-SELECT doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
-  ((cum - n) // 512)::BIGINT AS first_pack,
-  ((cum - 1) // 512)::BIGINT AS last_pack
-FROM c
-""",
-        "q_token_packing_str": f"""
-WITH base AS (
+), sbase AS (
   SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid, len({_TOKS}) AS n FROM documents
-), c AS (
+), sc AS (
   SELECT sid, n,
     SUM(n) OVER (ORDER BY sid ROWS UNBOUNDED PRECEDING) AS cum
-  FROM base
+  FROM sbase
 )
-SELECT sid AS doc_id, n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
+SELECT 'long_id' AS arm, CAST(doc_id AS VARCHAR) AS doc_id,
+  n::BIGINT AS n_tokens, (cum - n)::BIGINT AS start_tok,
   ((cum - n) // 512)::BIGINT AS first_pack,
   ((cum - 1) // 512)::BIGINT AS last_pack
 FROM c
-""",
-        "q_token_budget": f"""
-WITH base AS (
-  SELECT doc_id, n_chars::DOUBLE AS q, len({_TOKS}) AS n FROM documents
-), c AS (
-  SELECT doc_id, n,
-    SUM(n) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-  FROM base
-)
-SELECT doc_id, n::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens,
-  (cum <= 10000) AS keep
-FROM c
+UNION ALL
+SELECT 'str_id', sid, n::BIGINT, (cum - n)::BIGINT,
+  ((cum - n) // 512)::BIGINT, ((cum - 1) // 512)::BIGINT
+FROM sc
 """,
         "q_pack_summary": f"""
 WITH base AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
@@ -1507,9 +1503,17 @@ SELECT pack_id::BIGINT AS pack_id, COUNT(*) AS n_docs,
       - GREATEST(start_tok, pack_id * 512))::BIGINT AS n_tokens
 FROM touched GROUP BY pack_id
 """,
-        # per-source budgets: src0 floor(3000*2/4)=1500, src1/src2 750
-        "q_mixture": f"""
-WITH d AS (
+        # two arms: 'budget' = quality-first global budget (source NULL);
+        # 'mixture' = per-source budgets src0 floor(3000*2/4)=1500,
+        # src1/src2 750
+        "q_token_budget_mixture": f"""
+WITH bbase AS (
+  SELECT doc_id, n_chars::DOUBLE AS q, len({_TOKS}) AS n FROM documents
+), bc AS (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bbase
+), d AS (
   SELECT doc_id, source, len({_TOKS}) AS nt,
     n_chars::DOUBLE AS q
   FROM documents
@@ -1520,11 +1524,14 @@ WITH d AS (
     CASE source WHEN 'src0' THEN 1500 ELSE 750 END AS budget
   FROM d WHERE source IN ('src0', 'src1', 'src2')
 )
-SELECT doc_id, source, nt::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens,
-  (cum <= budget) AS keep
+SELECT 'budget' AS arm, doc_id, NULL::VARCHAR AS source,
+  n::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens, (cum <= 10000) AS keep
+FROM bc
+UNION ALL
+SELECT 'mixture', doc_id, source, nt::BIGINT, cum::BIGINT, (cum <= budget)
 FROM listed
 UNION ALL
-SELECT doc_id, source, nt::BIGINT, NULL::BIGINT, FALSE
+SELECT 'mixture', doc_id, source, nt::BIGINT, NULL::BIGINT, FALSE
 FROM d WHERE source NOT IN ('src0', 'src1', 'src2') OR source IS NULL
 """,
         "q_exact_dedup": """
@@ -1659,12 +1666,8 @@ WITH RECURSIVE corpus AS (
 )
 SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
 """,
-        "q_hash_sample": f"""
-SELECT doc_id, source FROM documents
-WHERE ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      < {int(0.2 * (1 << 60))}
-""",
-        "q_stratified_sample": """
+        # two arms: 'hash' = Bernoulli-by-hash; 'stratified' = exact-n rank
+        "q_sampling": f"""
 WITH r AS (
   SELECT doc_id, source,
     ROW_NUMBER() OVER (
@@ -1674,85 +1677,67 @@ WITH r AS (
     ) AS rk
   FROM documents
 )
-SELECT doc_id, source FROM r WHERE rk <= 25
+SELECT 'hash' AS arm, doc_id, source FROM documents
+WHERE ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {int(0.2 * (1 << 60))}
+UNION ALL
+SELECT 'stratified', doc_id, source FROM r WHERE rk <= 25
 """,
-        # closed-form pixel math over the deterministic gradient images —
-        # the REAL numpy decoder is checked against independent SQL, not
-        # against itself
-        "q_media_ppm": f"""
-WITH m AS (
-  SELECT 'm/' || CAST(i AS VARCHAR) AS media_ref,
-    ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'w')} % 12) + 4 AS w,
-    ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'h')} % 12) + 4 AS h,
-    {_hash64_sql("'m/' || CAST(i AS VARCHAR)", 's')} % 256 AS s
-  FROM range(37) t(i)
-), px AS (
-  SELECT m.media_ref, m.w, m.h,
-    ((x.x * 3 + m.s) % 256) / 255.0 AS r,
-    ((y.y * 5 + m.s * 2) % 256) / 255.0 AS g,
-    ((x.x + y.y + m.s) % 256) / 255.0 AS b
-  FROM m, range(16) x(x), range(16) y(y)
-  WHERE x.x < m.w AND y.y < m.h
-)
-SELECT media_ref,
-  ROUND(MAX(w)::DOUBLE, 6) AS f0, ROUND(MAX(h)::DOUBLE, 6) AS f1,
-  ROUND(AVG(r), 6) AS f2, ROUND(AVG(g), 6) AS f3, ROUND(AVG(b), 6) AS f4,
-  ROUND(stddev_pop(0.299*r + 0.587*g + 0.114*b), 6) AS f5,
-  ROUND(MAX(0.299*r + 0.587*g + 0.114*b), 6) AS f6,
-  ROUND(MIN(0.299*r + 0.587*g + 0.114*b), 6) AS f7
-FROM px GROUP BY media_ref
-""",
-        # brute-force list_intersect over the SAME 8-gram shingle definition
+        # three arms. 'exact': brute-force list_intersect over the SAME
+        # 8-gram shingle definition. 'cms': the ENTIRE CMS composition
+        # recomputed (sketch bucket counts with the seeded md5,
+        # min-over-rows estimates, cap filter, hits over kept shingles) —
+        # deterministic end to end. 'norm': normalized 13-gram
+        # decontamination — the bench side is the SAME docs uppercased with
+        # a comma after every word, so normalization must canonicalize both
+        # sides back to identical shingles.
         "q_contamination": f"""
-WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
-b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
-      FROM documents WHERE doc_id < 10)
-SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
-FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 3
-""",
-        # CMS-backed hot-shingle filter: recompute the ENTIRE composition
-        # (sketch bucket counts with the seeded md5, min-over-rows
-        # estimates, cap filter, hits over kept shingles) — deterministic
-        # end to end
-        "q_contamination_cms": f"""
-WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
-ds AS (SELECT doc_id, unnest(sh) AS sh FROM d),
-cms AS (
-  SELECT r.r AS row,
-    ('0x' || substr(md5('cms' || r.r || '|' || sh), 1, 15))::BIGINT % 1024 AS bucket,
-    COUNT(*) AS cnt
-  FROM ds, range(2) r(r) GROUP BY 1, 2
-),
-b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
-      FROM documents WHERE doc_id < 10),
-bs AS (SELECT bench_id, unnest(sh) AS sh FROM b),
-q AS (SELECT DISTINCT sh FROM bs),
-keys AS (
-  SELECT q.sh, r.r AS row,
-    ('0x' || substr(md5('cms' || r.r || '|' || q.sh), 1, 15))::BIGINT % 1024 AS bucket
-  FROM q, range(2) r(r)
-),
-est AS (
-  SELECT keys.sh, MIN(COALESCE(cms.cnt, 0)) AS est
-  FROM keys LEFT JOIN cms ON cms.row = keys.row AND cms.bucket = keys.bucket
-  GROUP BY keys.sh
-),
-kept AS (SELECT sh FROM est WHERE est <= 30)
-SELECT ds.doc_id, bs.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM ds JOIN kept USING (sh) JOIN bs USING (sh)
-GROUP BY 1, 2
-HAVING COUNT(*) >= 1
-""",
-        # normalized 13-gram decontamination: the bench side is the SAME
-        # docs uppercased with a comma after every word — normalization
-        # must canonicalize both sides back to identical shingles
-        "q_contamination_norm": f"""
-WITH d AS (SELECT doc_id, {_shingles_sql(_norm_toks_sql('text'), 13)} AS sh FROM documents),
-b AS (SELECT doc_id + 900000 AS bench_id,
-      {_shingles_sql(_norm_toks_sql("regexp_replace(upper(text), ' ', ', ', 'g')"), 13)} AS sh
-      FROM documents WHERE doc_id < 10)
-SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
-FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 1
+SELECT 'exact' AS arm, t.* FROM (
+  WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
+  b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
+        FROM documents WHERE doc_id < 10)
+  SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
+  FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 3
+) t
+UNION ALL
+SELECT 'cms', t.* FROM (
+  WITH d AS (SELECT doc_id, {_shingles_sql(_TOKS, 8)} AS sh FROM documents),
+  ds AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+  cms AS (
+    SELECT r.r AS row,
+      ('0x' || substr(md5('cms' || r.r || '|' || sh), 1, 15))::BIGINT % 1024 AS bucket,
+      COUNT(*) AS cnt
+    FROM ds, range(2) r(r) GROUP BY 1, 2
+  ),
+  b AS (SELECT doc_id + 900000 AS bench_id, {_shingles_sql(_TOKS, 8)} AS sh
+        FROM documents WHERE doc_id < 10),
+  bs AS (SELECT bench_id, unnest(sh) AS sh FROM b),
+  q AS (SELECT DISTINCT sh FROM bs),
+  keys AS (
+    SELECT q.sh, r.r AS row,
+      ('0x' || substr(md5('cms' || r.r || '|' || q.sh), 1, 15))::BIGINT % 1024 AS bucket
+    FROM q, range(2) r(r)
+  ),
+  est AS (
+    SELECT keys.sh, MIN(COALESCE(cms.cnt, 0)) AS est
+    FROM keys LEFT JOIN cms ON cms.row = keys.row AND cms.bucket = keys.bucket
+    GROUP BY keys.sh
+  ),
+  kept AS (SELECT sh FROM est WHERE est <= 30)
+  SELECT ds.doc_id, bs.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ds JOIN kept USING (sh) JOIN bs USING (sh)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 1
+) t
+UNION ALL
+SELECT 'norm', t.* FROM (
+  WITH d AS (SELECT doc_id, {_shingles_sql(_norm_toks_sql('text'), 13)} AS sh FROM documents),
+  b AS (SELECT doc_id + 900000 AS bench_id,
+        {_shingles_sql(_norm_toks_sql("regexp_replace(upper(text), ' ', ', ', 'g')"), 13)} AS sh
+        FROM documents WHERE doc_id < 10)
+  SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh))::BIGINT AS n_shared
+  FROM d, b WHERE len(list_intersect(d.sh, b.sh)) >= 1
+) t
 """,
         "q_pii_scan": """
 WITH d AS (
@@ -1842,67 +1827,114 @@ WITH d AS (
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(urls) AS BIGINT) AS n_urls
 FROM per GROUP BY domain
 """,
-        "q_simhash": _simhash_sql(),
-        # brute-force Hamming truth: the block-partition join is EXACT at
-        # distance <= k (pigeonhole), so the full pair set must match
-        "q_simhash_near_pairs": _simhash_cte(150, planted_below=30) + """
+        # two arms normalized to (arm, a, b, v): 'sig' = fingerprints;
+        # 'pairs' = brute-force Hamming truth — the block-partition join is
+        # EXACT at distance <= k (pigeonhole), so the full pair set must match
+        "q_simhash": (
+            "SELECT 'sig' AS arm, t.id AS a, NULL::BIGINT AS b, t.simhash AS v FROM ("
+            + _simhash_sql()
+            + """) t
+UNION ALL
+SELECT 'pairs', t.id_a, t.id_b, t.hamming::BIGINT FROM ("""
+            + _simhash_cte(150, planted_below=30)
+            + """
 SELECT a.id AS id_a, b.id AS id_b,
   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sh a, sh b
 WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
-        "q_ann_topk": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-s AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-    list_dot_product(q.v, e.v)
-      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sc
-  FROM q, e WHERE e.vec_id <> q.vec_id
-), r AS (
-  SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
-    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
-  FROM s
-)
-SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+) t
+"""
+        ),
+        # two arms: 'brute' = float cosine; 'quantized' = exact replication
+        # of the int8 quantize→dequantize→cosine math (integer inner
+        # product — the per-vector scale cancels out of cosine, so
+        # score = int dot / (int norm x int norm); identical floor-half-up
+        # quantization, identical arithmetic order)
+        "q_ann_exact": """
+SELECT 'brute' AS arm, t.* FROM (
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+  s AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sc
+    FROM q, e WHERE e.vec_id <> q.vec_id
+  ), r AS (
+    SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
+    FROM s
+  )
+  SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+) t
+UNION ALL
+SELECT 'quantized', t.* FROM (
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  qz AS (
+    SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS s, v FROM e
+  ), iq AS (
+    SELECT vec_id,
+      CASE WHEN s > 0
+        THEN list_transform(v, x -> floor(x / s * 127 + 0.5)::BIGINT)
+        ELSE list_transform(v, x -> 0::BIGINT) END AS q
+    FROM qz
+  ), nq AS (
+    SELECT vec_id, q, sqrt(list_dot_product(q, q)::DOUBLE) AS n FROM iq
+  ), qs AS (SELECT vec_id, q, n FROM nq WHERE vec_id < 10),
+  s AS (
+    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+      list_dot_product(qs.q, c.q)::DOUBLE / (c.n * qs.n) AS sc
+    FROM qs, nq c WHERE c.vec_id <> qs.vec_id AND c.n > 0 AND qs.n > 0
+  ), r AS (
+    SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
+    FROM s
+  )
+  SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+) t
 """,
         "q_embedding_near_dup": """
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
 FROM embeddings WHERE vec_id < 5
 """,
-        # exact replication of the int8 quantize->dequantize->cosine math
-        # integer inner product (round-4): the per-vector scale cancels
-        # out of cosine, so score = int dot / (int norm x int norm) —
-        # identical floor-half-up quantization, identical arithmetic order
-        "q_ann_quantized": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-qz AS (
-  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS s, v FROM e
-), iq AS (
-  SELECT vec_id,
-    CASE WHEN s > 0
-      THEN list_transform(v, x -> floor(x / s * 127 + 0.5)::BIGINT)
-      ELSE list_transform(v, x -> 0::BIGINT) END AS q
-  FROM qz
-), nq AS (
-  SELECT vec_id, q, sqrt(list_dot_product(q, q)::DOUBLE) AS n FROM iq
-), qs AS (SELECT vec_id, q, n FROM nq WHERE vec_id < 10),
-s AS (
-  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-    list_dot_product(qs.q, c.q)::DOUBLE / (c.n * qs.n) AS sc
-  FROM qs, nq c WHERE c.vec_id <> qs.vec_id AND c.n > 0 AND qs.n > 0
-), r AS (
-  SELECT query_id, neighbor_id, ROUND(sc, 4) AS score,
-    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id)::INT AS rank
-  FROM s
-)
-SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
-""",
-        # closed-form audio math: sawtooth s_i = (i*(seed+3))%4096-2048
-        # regenerated per media_ref over range(n); features recomputed with
-        # SQL aggregates (population std, strict sign-flip crossings)
-        "q_media_wav": """
-WITH m AS (
+        # three arms sharing (arm, media_ref, mime, f0..f7). 'ppm':
+        # closed-form pixel math over the deterministic gradient images —
+        # the REAL numpy decoder is checked against independent SQL, not
+        # itself. 'wav': closed-form audio math — sawtooth
+        # s_i = (i*(seed+3))%4096-2048 regenerated per media_ref over
+        # range(n), features recomputed with SQL aggregates (population
+        # std, strict sign-flip crossings). 'fake': the md5-arithmetic
+        # plumbing decoder recomputed exactly.
+        "q_media_decode": f"""
+SELECT 'ppm' AS arm, t.media_ref, 'image/x-portable-pixmap' AS mime,
+  t.f0, t.f1, t.f2, t.f3, t.f4, t.f5, t.f6, t.f7
+FROM (
+  WITH m AS (
+    SELECT 'm/' || CAST(i AS VARCHAR) AS media_ref,
+      ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'w')} % 12) + 4 AS w,
+      ({_hash64_sql("'m/' || CAST(i AS VARCHAR)", 'h')} % 12) + 4 AS h,
+      {_hash64_sql("'m/' || CAST(i AS VARCHAR)", 's')} % 256 AS s
+    FROM range(37) t(i)
+  ), px AS (
+    SELECT m.media_ref, m.w, m.h,
+      ((x.x * 3 + m.s) % 256) / 255.0 AS r,
+      ((y.y * 5 + m.s * 2) % 256) / 255.0 AS g,
+      ((x.x + y.y + m.s) % 256) / 255.0 AS b
+    FROM m, range(16) x(x), range(16) y(y)
+    WHERE x.x < m.w AND y.y < m.h
+  )
+  SELECT media_ref,
+    ROUND(MAX(w)::DOUBLE, 6) AS f0, ROUND(MAX(h)::DOUBLE, 6) AS f1,
+    ROUND(AVG(r), 6) AS f2, ROUND(AVG(g), 6) AS f3, ROUND(AVG(b), 6) AS f4,
+    ROUND(stddev_pop(0.299*r + 0.587*g + 0.114*b), 6) AS f5,
+    ROUND(MAX(0.299*r + 0.587*g + 0.114*b), 6) AS f6,
+    ROUND(MIN(0.299*r + 0.587*g + 0.114*b), 6) AS f7
+  FROM px GROUP BY media_ref
+) t
+UNION ALL
+SELECT 'wav', t.media_ref, 'audio/wav',
+  t.f0, t.f1, t.f2, t.f3, t.f4, t.f5, t.f6, t.f7
+FROM (
+  WITH m AS (
   SELECT 'a/' || CAST(i AS VARCHAR) AS media_ref,
     (('0x' || substr(md5('n|' || 'a/' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 400) + 50 AS n,
     (('0x' || substr(md5('r|' || 'a/' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 3) * 8000 + 8000 AS sr,
@@ -1928,6 +1960,29 @@ SELECT media_ref,
         / (MAX(n) - 1), 6) AS f6,
   ROUND(stddev_pop(xv), 6) AS f7
 FROM x GROUP BY media_ref
+) t
+UNION ALL
+SELECT 'fake', t.media_ref, t.mime,
+  t.f0, t.f1, t.f2, t.f3, t.f4, t.f5, t.f6, t.f7
+FROM (
+  WITH m AS (
+    SELECT 'm/' || CAST(r AS VARCHAR) || '.png' AS media_ref,
+      (['image/png','image/jpeg','video/mp4'])[(r % 3)::INT + 1] AS mime
+    FROM range(37) t(r)
+  ), p AS (
+    SELECT media_ref, mime, md5(repeat(md5(media_ref), 4)) AS h FROM m
+  )
+  SELECT media_ref, mime,
+    ROUND(('0x' || substr(h, 1, 2))::INT / 255.0, 6) AS f0,
+    ROUND(('0x' || substr(h, 3, 2))::INT / 255.0, 6) AS f1,
+    ROUND(('0x' || substr(h, 5, 2))::INT / 255.0, 6) AS f2,
+    ROUND(('0x' || substr(h, 7, 2))::INT / 255.0, 6) AS f3,
+    ROUND(('0x' || substr(h, 9, 2))::INT / 255.0, 6) AS f4,
+    ROUND(('0x' || substr(h, 11, 2))::INT / 255.0, 6) AS f5,
+    ROUND(('0x' || substr(h, 13, 2))::INT / 255.0, 6) AS f6,
+    ROUND(('0x' || substr(h, 15, 2))::INT / 255.0, 6) AS f7
+  FROM p
+) t
 """,
         # the documents parquet schema is fixed testdata (TESTDATA.md):
         # bigint/varchar columns as below; the oracle is the literal diff
@@ -1941,17 +1996,34 @@ SELECT * FROM (VALUES
   ('n_chars', 'added', NULL, 'bigint')
 ) AS t(\"column\", status, expected_type, actual_type)
 """,
-        # exact bucket recomputation with the identical seeded md5 hash
-        "q_cms_tokens": f"""
-WITH t AS (
-  SELECT unnest({_TOKS}) AS tok FROM documents
-), rb AS (
-  SELECT r.r AS row, ('0x' || substr(md5('cms' || r.r || '|' || tok), 1, 15))::BIGINT % 64 AS bucket
-  FROM t, range(3) r(r)
-)
-SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket,
-  CAST(COUNT(*) AS BIGINT) AS cnt
-FROM rb GROUP BY 1, 2
+        # two arms on (arm, k1, k2, n, nd_ok, q25_ok, q50_ok, q75_ok).
+        # 'bounds': the oracle states the error-bound contract (all
+        # booleans TRUE) + exact row count; the Spark side computes the
+        # actual sketch-vs-exact comparison, so any bound violation
+        # mismatches. 'cms': exact bucket recomputation with the identical
+        # seeded md5 hash (k1=row, k2=bucket, n=cnt, booleans NULL).
+        "q_sketch_contracts": f"""
+SELECT 'bounds' AS arm, 'l_quantity' AS k1, NULL::VARCHAR AS k2,
+  COUNT(*)::BIGINT AS n,
+  TRUE AS nd_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM lineitem
+UNION ALL
+SELECT 'bounds', 'l_extendedprice', NULL, COUNT(*)::BIGINT,
+  TRUE, TRUE, TRUE, TRUE
+FROM lineitem
+UNION ALL
+SELECT 'cms', CAST(t.row AS VARCHAR), CAST(t.bucket AS VARCHAR), t.cnt,
+  NULL, NULL, NULL, NULL
+FROM (
+  WITH tk AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+  ), rb AS (
+    SELECT r.r AS row, ('0x' || substr(md5('cms' || r.r || '|' || tok), 1, 15))::BIGINT % 64 AS bucket
+    FROM tk, range(3) r(r)
+  )
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rb GROUP BY 1, 2
+) t
 """,
         # durable partition key (src_id % 16): every verdict row is
         # layout-independent and recomputable — planted classes 1-5,7,8
@@ -2075,47 +2147,15 @@ SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts FROM (
   FROM events
 ) WHERE p IS NOT NULL AND ts < p
 """,
-        # sketch contract check: the oracle states the error-bound contract
-        # (all booleans TRUE) + exact row count; the Spark side computes the
-        # actual sketch-vs-exact comparison, so any bound violation mismatches
-        "q_sketches": """
-SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
-  TRUE AS nd_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
-FROM lineitem
-UNION ALL
-SELECT 'l_extendedprice', COUNT(*), TRUE, TRUE, TRUE, TRUE FROM lineitem
-""",
-        # recall bounds: truth cardinality derived from the data; meets_floor
-        # is the contract (engine computes actual recall vs brute force)
-        "q_ann_lsh": """
+        # recall bounds, two arms (metric discriminates): truth cardinality
+        # derived from the data; meets_floor is the contract (engine
+        # computes actual recall vs brute force)
+        "q_ann_bounded": """
 SELECT 'ann_lsh_recall_at_5' AS metric, COUNT(*)::BIGINT * 5 AS n_truth,
   TRUE AS meets_floor
 FROM embeddings WHERE vec_id < 10
-""",
-        "q_ann_ivf": """
-SELECT 'ann_ivf_recall_at_5' AS metric, COUNT(*)::BIGINT * 5 AS n_truth,
-  TRUE AS meets_floor
+UNION ALL
+SELECT 'ann_ivf_recall_at_5', COUNT(*)::BIGINT * 5, TRUE
 FROM embeddings WHERE vec_id < 10
-""",
-        # full exact oracle: the fake decode is closed-form md5 arithmetic
-        # over the synthesized media dim (sources/synth.py media_dim)
-        "q_media_features": """
-WITH m AS (
-  SELECT 'm/' || CAST(r AS VARCHAR) || '.png' AS media_ref,
-    (['image/png','image/jpeg','video/mp4'])[(r % 3)::INT + 1] AS mime
-  FROM range(37) t(r)
-), p AS (
-  SELECT media_ref, mime, md5(repeat(md5(media_ref), 4)) AS h FROM m
-)
-SELECT media_ref, mime,
-  ROUND(('0x' || substr(h, 1, 2))::INT / 255.0, 6) AS f0,
-  ROUND(('0x' || substr(h, 3, 2))::INT / 255.0, 6) AS f1,
-  ROUND(('0x' || substr(h, 5, 2))::INT / 255.0, 6) AS f2,
-  ROUND(('0x' || substr(h, 7, 2))::INT / 255.0, 6) AS f3,
-  ROUND(('0x' || substr(h, 9, 2))::INT / 255.0, 6) AS f4,
-  ROUND(('0x' || substr(h, 11, 2))::INT / 255.0, 6) AS f5,
-  ROUND(('0x' || substr(h, 13, 2))::INT / 255.0, 6) AS f6,
-  ROUND(('0x' || substr(h, 15, 2))::INT / 255.0, 6) AS f7
-FROM p
 """,
     }

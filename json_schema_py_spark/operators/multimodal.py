@@ -336,7 +336,7 @@ def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
     """Deterministic REAL PCM16 WAV: an integer sawtooth
     s_i = ((i·(seed+3)) mod 4096) − 2048 — closed-form enough that a SQL
     oracle recomputes every feature from (n, sr, seed) without touching
-    the decoder (the q_media_ppm independence doctrine)."""
+    the decoder (the q_media_decode ppm-arm independence doctrine)."""
     import struct
 
     import numpy as np
