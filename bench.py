@@ -33,7 +33,11 @@ def _replicated_spans(spark, sf_dir: str, replication: int):
     """Deterministic corpus scale-up, MATERIALIZED: copy r gets doc indices
     i + r*N; the derived interleaved spans table is written to parquet once
     (cached across bench runs) so the headline measures the ENGINE reading
-    the input_hint-shaped table — not the synthetic derivation."""
+    the input_hint-shaped table — not the synthetic derivation.
+
+    Returns (spans_df, flat_docs_df, n_docs) — the flat replicated
+    documents table feeds the round-6 text-operator benches (lm, tfidf)
+    at the same 2M-doc scale as the headline."""
     from pyspark.sql import functions as F
 
     from json_schema_py_spark.sources.synth import spans_documents
@@ -50,13 +54,13 @@ def _replicated_spans(spark, sf_dir: str, replication: int):
     src_tag = hashlib.md5(inspect.getsource(_synth).encode()).hexdigest()[:8]
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{replication}_{src_tag}"
     spans_path = f"/tmp/bench_spans_{tag}"
-    if not os.path.exists(spans_path):
+    flat = f"/tmp/bench_docs_{tag}"
+    if not os.path.exists(spans_path) or not os.path.exists(flat):
         reps = spark.range(replication).select(F.col("id").alias("rep"))
         big = docs.crossJoin(reps).select(
             (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
             "text", "lang", "source", "n_chars",
         )
-        flat = f"/tmp/bench_docs_{tag}"
         link_dir = flat + "_dir"
         big.repartition(max(CPUS * 2, 8)).write.mode("overwrite").parquet(flat)
         os.makedirs(link_dir, exist_ok=True)
@@ -66,7 +70,7 @@ def _replicated_spans(spark, sf_dir: str, replication: int):
         spans_documents(spark, link_dir).repartition(256).write.mode(
             "overwrite"
         ).parquet(spans_path)
-    return spark.read.parquet(spans_path), n * replication
+    return spark.read.parquet(spans_path), spark.read.parquet(flat), n * replication
 
 
 def run_benchmarks(cpus: int) -> dict:
@@ -96,7 +100,7 @@ def run_benchmarks(cpus: int) -> dict:
     # -- headline: single fused stats+constraint pass over replicated corpus.
     # Run twice: first run pays one-time plan compile + codegen (~seconds,
     # amortized to nothing on a real cluster run); steady-state is the metric.
-    spans_big, n_docs = _replicated_spans(spark, SF_DIR, REPLICATION)
+    spans_big, docs_big, n_docs = _replicated_spans(spark, SF_DIR, REPLICATION)
 
     def fused_pass():
         ann = with_violations(spans_big, DOCUMENTS_RULESET)
@@ -109,8 +113,12 @@ def run_benchmarks(cpus: int) -> dict:
             F.approx_count_distinct("doc_id", 0.05).alias("distinct_ids"),
         ).collect()[0]
 
+    # default 8 reps (round-6): the interleaved attribution run showed the
+    # fused pass still decaying through rep ~5 (1.9 s at rep 5 vs 1.31 s
+    # steady) — the r5 sub-second lesson applies to the headline too, so
+    # the artifact of record now samples genuine C2 steady state
     times = []
-    for _ in range(int(os.environ.get("BENCH_FUSED_REPS", "5"))):
+    for _ in range(int(os.environ.get("BENCH_FUSED_REPS", "8"))):
         t0 = time.time()
         row = fused_pass()
         times.append(time.time() - t0)
@@ -223,6 +231,88 @@ def run_benchmarks(cpus: int) -> dict:
         lambda: time_rollup(ev, "ts", "value", ("hour", "day")).count()
     )
 
+    # -- interval join at scale (round-6, VERDICT r05 item 6): 2M events
+    # against 10k time intervals, including ONE oversized interval (the
+    # full 30-day span at bucket_seconds=600 = ~4,320 buckets > cap 1,000)
+    # exercising the cap + audit. Events replicate 20x and are
+    # re-partitioned + persisted once OUTSIDE the timed region (the
+    # crossJoin inherits the tiny parquet's 1-2 partitions — the r5 dedup
+    # drive lesson).
+    from json_schema_py_spark.operators.temporal import (
+        interval_join,
+        interval_join_oversized,
+    )
+
+    b = ev.agg(
+        F.unix_seconds(F.min("ts").cast("timestamp")).alias("lo"),
+        F.unix_seconds(F.max("ts").cast("timestamp")).alias("hi"),
+    ).first()
+    lo_s, hi_s = float(b["lo"]), float(b["hi"])
+    step = (hi_s - lo_s) / 10_000
+    iv = spark.range(10_000).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_seconds(F.lit(lo_s) + F.col("id") * F.lit(step)).alias("start"),
+        F.when(F.col("id") == 0, F.timestamp_seconds(F.lit(hi_s)))
+        .otherwise(
+            F.timestamp_seconds(F.lit(lo_s) + F.col("id") * F.lit(step) + F.lit(1800.0))
+        )
+        .alias("end"),
+    )
+    ev_big = (
+        ev.crossJoin(spark.range(20).select(F.col("id").alias("_rep")))
+        .select(
+            (F.col("event_id") + F.col("_rep") * 1_000_000).alias("event_id"),
+            "user_id",
+            "ts",
+        )
+        .repartition(max(cpus * 2, 8))
+        .persist()
+    )
+    ev_big.count()
+    queries["interval_join_2m_x_10k"] = min_of(
+        lambda: interval_join(
+            ev_big, iv, bucket_seconds=600, max_buckets_per_interval=1_000
+        ).count()
+    )
+    n_oversized = interval_join_oversized(
+        iv, bucket_seconds=600, max_buckets_per_interval=1_000
+    ).count()
+    assert n_oversized == 1, n_oversized  # the audit catches exactly the plant
+    ev_big.unpersist()
+
+    # -- round-6 heavy text operators over the SAME 2M-doc corpus as the
+    # headline (VERDICT r05 item 7). Gated by BENCH_HEAVY so --scaling
+    # (which re-runs the whole file twice) keeps its r5-comparable cost.
+    if os.environ.get("BENCH_HEAVY", "1") == "1":
+        from json_schema_py_spark.operators.keywords import tfidf_top_terms
+        from json_schema_py_spark.operators.lm import (
+            score_perplexity,
+            train_bigram_lm,
+        )
+
+        d2m = docs_big.select("doc_id", "text")
+        queries["tfidf_top_terms"] = min_of(
+            lambda: tfidf_top_terms(d2m, k=5, min_df=2)
+            .agg(F.count(F.lit(1)), F.sum("tfidf"))
+            .collect()
+        )
+
+        # train once, MATERIALIZE the LM (the production shape: an LM is a
+        # reusable artifact — scoring must not re-run the train lineage),
+        # then score the full corpus against it
+        t0 = time.time()
+        vocab, uni, bi = train_bigram_lm(d2m, vocab_size=50_000)
+        vocab, uni, bi = vocab.persist(), uni.persist(), bi.persist()
+        lm_sizes = (vocab.count(), uni.count(), bi.count())
+        queries["lm_train_50k_cold"] = round(time.time() - t0, 3)
+        queries["lm_score_2m"] = min_of(
+            lambda: score_perplexity(d2m, vocab, uni, bi)
+            .agg(F.count(F.lit(1)), F.sum("perplexity"), F.sum("n_bigrams"))
+            .collect()
+        )
+        for t in (vocab, uni, bi):
+            t.unpersist()
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",
@@ -283,7 +373,10 @@ def run_scaling() -> None:
     lo, hi = (int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "8,32").split(","))
     results = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_FUSED_REPS="3")
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_FUSED_REPS="3",
+            BENCH_HEAVY="0",
+        )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=1800
         )
