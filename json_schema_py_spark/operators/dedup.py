@@ -606,54 +606,61 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     round); converges in O(component diameter) rounds — near-dup families
     are shallow (a hub-and-spokes clone family is diameter 2), so the
     driver loop runs a handful of bounded-size jobs, each over the PAIR
-    set (<< corpus). Labels persist per round to keep lineage flat;
-    raises if ``max_iters`` rounds don't converge (pathological chain —
-    raise the bound or pre-split the graph).
+    set (<< corpus). Labels are ``localCheckpoint``-ed per round — NOT
+    merely persisted: persist caches the data but the logical plan still
+    nests every prior round (and the full upstream lineage of ``pairs``,
+    e.g. the whole curation pipeline), so after a few rounds the plan
+    tree alone OOMs the driver while Spark renders it for UI/listener
+    events (observed at 2M docs composed in curate_documents, round 6).
+    Checkpointing truncates lineage to the materialized RDD, keeping
+    every round's plan O(1) regardless of how deep the caller's plan is.
+    ``localCheckpoint`` stores to executor memory/disk, not a reliable
+    checkpoint dir — on a real cluster, losing an executor mid-loop
+    recomputes nothing and fails the job; the loop is short (seconds per
+    round) so rerunning beats paying HDFS writes per round. Raises if
+    ``max_iters`` rounds don't converge (pathological chain — raise the
+    bound or pre-split the graph).
 
     Deterministic: pure min over ids, no randomness, any pair order."""
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)  # truncate the caller's upstream plan ONCE
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
-    try:
-        for _ in range(max_iters):
-            nbr = (
-                edges.join(
-                    labels.select(F.col("u").alias("v"), "label"), "v"
-                )
-                .groupBy("u")
-                .agg(F.min("label").alias("_nbr_min"))
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
             )
-            new = (
-                labels.join(nbr, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("label"), F.coalesce("_nbr_min", F.col("label"))
-                    ).alias("_new"),
-                    F.col("label").alias("_old"),
-                )
-                .persist()
-            )
-            changed = new.where(F.col("_new") != F.col("_old")).count()
-            labels.unpersist()
-            labels = new.select("u", F.col("_new").alias("label")).persist()
-            labels.count()  # materialize before dropping the parent
-            new.unpersist()
-            if changed == 0:
-                # the returned frame rides the final persisted labels —
-                # one more action pays nothing; release via Spark's LRU
-                # or spark.catalog.clearCache()
-                return labels.select(
-                    F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-                )
-        labels.unpersist()  # review r05: don't leak the cache on the raise path
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} rounds — "
-            "a component with diameter > max_iters; raise the bound"
+            .groupBy("u")
+            .agg(F.min("label").alias("_nbr_min"))
         )
-    finally:
-        edges.unpersist()
+        new = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("_nbr_min", F.col("label"))
+                ).alias("_new"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=True)  # materialize + flatten lineage
+        )
+        changed = new.where(F.col("_new") != F.col("_old")).count()
+        # narrow projection over the checkpointed RDD — no recompute;
+        # superseded checkpoint blocks are released by the ContextCleaner
+        # once the driver-side references drop
+        labels = new.select("u", F.col("_new").alias("label"))
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds — "
+        "a component with diameter > max_iters; raise the bound"
+    )

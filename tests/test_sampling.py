@@ -101,3 +101,32 @@ def test_dedup_clusters_on_lsh_pairs(spark):
         cid = next(c for c, m in by_cluster.items() if i in m)
         assert {i, i + 100000, i + 200000} <= by_cluster[cid]
         assert cid == min(by_cluster[cid])
+
+
+def test_dedup_clusters_plan_bounded_under_deep_upstream(spark):
+    """Round-6 regression: composed inside curate_documents at 2M docs,
+    dedup_clusters OOM'd the DRIVER while Spark rendered the plan string —
+    persist() caches data but every round's logical plan still nested the
+    full upstream lineage.  localCheckpoint must keep the result's plan
+    size independent of the caller's plan depth."""
+    from json_schema_py_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    # manufacture a deep upstream plan: 120 chained filter/projection layers
+    # (linear depth — mimics the curation pipeline's long lineage)
+    deep = pairs
+    for i in range(120):
+        deep = deep.where(F.col("id_a") >= -1 - i).withColumn(
+            "id_a", F.col("id_a") + 0
+        )
+    clusters = dedup_clusters(deep)
+    got = {(r["doc_id"], r["cluster_id"]) for r in clusters.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    # the checkpoint truncation is what makes this safe: the final plan
+    # must not embed the 40-layer upstream (which alone stringifies to
+    # hundreds of KB and, at 2M-doc curation depth, to heap exhaustion)
+    plan = clusters._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan grew with upstream depth: {len(plan)} chars"
+    assert "LogicalRDD" in plan  # lineage was truncated to the checkpointed RDD
