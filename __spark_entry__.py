@@ -336,6 +336,67 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d.unionByName(extra), threshold=0.7)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: fastText/CCNet-style linear quality classifier — train a
+    closed-form NB log-odds model (Laplace alpha=1) on an
+    English-vs-rest label split of the documents corpus, score every doc
+    with the multinomial log-odds sum. DuckDB recomputes the ENTIRE
+    pipeline exactly: per-class token counts, united-vocab smoothing,
+    ln-weight arithmetic, per-occurrence scoring, the prior bias."""
+    from json_schema_py_spark.operators.classifier import (
+        score_quality,
+        train_nb_classifier,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    w, b = train_nb_classifier(d)
+    return score_quality(d, w, b)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6, THREE arms — substring-level dedup (the Lee-et-al
+    hot-n-gram re-expression; operators/substring.py): ``hot`` is the
+    corpus-wide 8-token shingles occurring >= 3 times (occurrence
+    counts, not doc counts); ``span`` is every hot occurrence as a
+    half-open 0-based token span; ``strip`` is the corpus with covered
+    tokens removed and survivors single-space re-joined. DuckDB
+    recomputes all three from positional shingle slices."""
+    from json_schema_py_spark.operators.substring import (
+        duplicate_ngram_spans,
+        hot_ngrams,
+        strip_duplicate_ngrams,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hot = hot_ngrams(d, k=8, min_count=3)
+    h = hot.select(
+        F.lit("hot").alias("arm"),
+        F.col("ngram").alias("key"),
+        F.col("cnt").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    s = duplicate_ngram_spans(d, hot, k=8).select(
+        F.lit("span").alias("arm"),
+        F.concat_ws(":", F.col("doc_id"), F.col("start_tok")).alias("key"),
+        F.col("start_tok").cast("long").alias("a"),
+        F.col("end_tok").cast("long").alias("b"),
+        F.col("ngram").alias("txt"),
+    )
+    t = strip_duplicate_ngrams(d, hot, k=8).select(
+        F.lit("strip").alias("arm"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("long").alias("a"),
+        F.col("n_removed").cast("long").alias("b"),
+        F.col("clean_text").alias("txt"),
+    )
+    return h.unionByName(s).unionByName(t)
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5: TF-IDF top-3 terms per document (smoothed sklearn-style
     idf, deterministic (tfidf DESC, term ASC) tie-break, min_df=2) —
@@ -1119,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_lm_perplexity": q_lm_perplexity,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_quality_classifier": q_quality_classifier,
+        "q_substring_dedup": q_substring_dedup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sampling": q_sampling,
         "q_media_decode": q_media_decode,
@@ -1580,6 +1643,71 @@ FROM base a, base b
 WHERE a.id < b.id AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+        # the whole NB pipeline recomputed: per-class occurrence counts,
+        # united-vocab Laplace smoothing, ln-weight arithmetic, the
+        # per-occurrence multinomial sum, the doc-prior bias
+        "q_quality_classifier": f"""
+WITH d AS (
+  SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label FROM documents
+), toks AS (
+  SELECT label, t.t AS token FROM (SELECT label, {_TOKS} AS l FROM d), unnest(l) AS t(t)
+), counts AS (
+  SELECT token,
+         SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+  FROM toks GROUP BY token
+), tot AS (
+  SELECT SUM(c1)::BIGINT AS t1, SUM(c0)::BIGINT AS t0, COUNT(*)::BIGINT AS v FROM counts
+), wts AS (
+  SELECT token, ln((c1 + 1.0) / (t1 + 1.0 * v)) - ln((c0 + 1.0) / (t0 + 1.0 * v)) AS weight
+  FROM counts, tot
+), bias AS (
+  SELECT ln(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) * 1.0
+            / SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)) AS bias FROM d
+), dtoks AS (
+  SELECT doc_id, t.t AS token FROM (SELECT doc_id, {_TOKS} AS l FROM d), unnest(l) AS t(t)
+), per_doc AS (
+  SELECT d.doc_id,
+         COUNT(t.token)::BIGINT AS n_tokens,
+         COUNT(w.weight)::BIGINT AS matched,
+         COALESCE(SUM(w.weight), 0.0) AS w_sum
+  FROM d LEFT JOIN dtoks t ON d.doc_id = t.doc_id
+         LEFT JOIN wts w ON t.token = w.token
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, matched, ROUND(w_sum + bias, 6) AS score FROM per_doc, bias
+""",
+        # positional (non-distinct) 8-token shingles with 0-based start
+        # indices; hot = occurrence count >= 3; strip removes the UNION of
+        # covered indices and re-joins survivors with single spaces
+        "q_substring_dedup": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, s AS start_tok,
+         array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS ngram
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 8)) AS s)
+), hot AS (
+  SELECT ngram, COUNT(*)::BIGINT AS cnt FROM pos GROUP BY ngram HAVING COUNT(*) >= 3
+), spans AS (
+  SELECT p.doc_id, p.start_tok, p.start_tok + 8 AS end_tok, p.ngram
+  FROM pos p JOIN hot h USING (ngram)
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(start_tok, start_tok + 7)) AS idx FROM spans
+), kept AS (
+  SELECT t.doc_id, i.i AS idx, t.toks[i.i + 1] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(t.toks) - 1)) AS i) i
+  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.idx = i.i)
+)
+SELECT 'hot' AS arm, ngram AS key, cnt AS a, NULL::BIGINT AS b, NULL::VARCHAR AS txt FROM hot
+UNION ALL
+SELECT 'span', doc_id || ':' || start_tok, start_tok::BIGINT, end_tok::BIGINT, ngram FROM spans
+UNION ALL
+SELECT 'strip', CAST(t.doc_id AS VARCHAR), len(t.toks)::BIGINT,
+       COALESCE((SELECT COUNT(*) FROM cov c WHERE c.doc_id = t.doc_id), 0)::BIGINT,
+       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.idx) FROM kept k WHERE k.doc_id = t.doc_id), '')
+FROM t
 """,
         "q_tfidf_terms": f"""
 WITH toks AS (

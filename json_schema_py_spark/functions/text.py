@@ -107,10 +107,12 @@ def word_shingles(col: Column, k: int = 3, normalize: bool = False) -> Column:
     return shingles_of_tokens(tokens(col), k)
 
 
-def shingles_of_tokens(toks: Column, k: int) -> Column:
-    """word_shingles' core over an ALREADY-TOKENIZED array — exposed so a
-    combined-signatures pass can tokenize once (bind the token array as a
-    lambda variable) and feed both the shingle and token consumers."""
+def positional_shingles_of_tokens(toks: Column, k: int) -> Column:
+    """ALL word k-shingles of a token array IN ORDER (index i = shingle
+    starting at token i, 0-based) — duplicates kept, so posexplode over
+    this recovers every OCCURRENCE with its position (substring-level
+    dedup needs occurrences; Jaccard/MinHash tiers want the distinct set
+    and wrap this with array_distinct via shingles_of_tokens)."""
     n = F.size(toks)
     shifted = [toks] + [
         F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(1, k)
@@ -120,8 +122,14 @@ def shingles_of_tokens(toks: Column, k: int) -> Column:
         zipped = F.zip_with(zipped, nxt, lambda a, b: F.concat_ws(" ", a, b))
     # zip_with pads the shorter side with nulls → the trailing (k-1) entries
     # are malformed partial shingles; slice them off
-    sh = F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(sh)
+    return F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
+def shingles_of_tokens(toks: Column, k: int) -> Column:
+    """word_shingles' core over an ALREADY-TOKENIZED array — exposed so a
+    combined-signatures pass can tokenize once (bind the token array as a
+    lambda variable) and feed both the shingle and token consumers."""
+    return F.array_distinct(positional_shingles_of_tokens(toks, k))
 
 
 def stopword_ratio(col: Column) -> Column:

@@ -1,0 +1,151 @@
+"""Cross-document SUBSTRING-level deduplication — the Lee et al.
+("Deduplicating Training Data Makes Language Models Better", 2022)
+complement to whole-document near-dup: boilerplate, license headers,
+navigation chrome, and quoted passages repeat VERBATIM across otherwise
+distinct documents, and document-level MinHash never fires on them.
+The exact-suffix-array construction of the paper doesn't distribute;
+the standard scalable re-expression (this module) is hot-n-gram span
+removal: count every k-token shingle OCCURRENCE corpus-wide, call a
+shingle "hot" when it occurs >= min_count times, and mark/strip every
+token covered by a hot shingle.
+
+Scale shape (100 TB doctrine):
+  - ``hot_ngrams``: one posexplode of the positional shingle stream ->
+    ONE map-side-combinable groupBy(ngram).count — the same plan family
+    as tfidf's df table. Output is bounded by the hot set, but the
+    GROUPED stream is the corpus vocabulary, so downstream joins are
+    plain shuffle joins on ngram — never a forced broadcast (Spark's
+    size threshold auto-broadcasts a genuinely small hot set). At
+    100 TB, screen with the CMS sketch first (corpus_shingle_cms in
+    operators/contamination.py) so only sketch-hot shingles reach the
+    exact count — same composition as contamination's cap filter.
+  - ``duplicate_ngram_spans``: positional shingles join hot on ngram —
+    one shuffle, output bounded at (hot occurrences).
+  - ``strip_duplicate_ngrams``: spans -> covered token indices
+    (explode a k-length sequence per span, distinct) -> per-doc
+    collect_set (bounded by the doc's own token count) -> rebuild the
+    text with an indexed HOF filter, all whole-stage codegen. Two
+    corpus scans total (count pass + rebuild pass) — the same pass
+    structure as the paper's pipelines.
+
+Positions are 0-based token indices; spans are [start_tok, end_tok)
+half-open. Deterministic end to end — exactly DuckDB-recomputable
+(gate query q_substring_dedup).
+
+Reference parity note: the reference validator has no substring-dedup
+surface — this module is part of the training-data-pipeline extension
+mandated alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.functions.text import (
+    positional_shingles_of_tokens,
+    tokens,
+)
+from json_schema_py_spark.util import ensure_parallelism
+
+
+def _positional(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc_id, start_tok, ngram) — every k-shingle OCCURRENCE."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        positional_shingles_of_tokens(tokens(F.col(text_col)), k).alias("_sh"),
+    )
+    return base.select(
+        "doc_id", F.posexplode("_sh").alias("start_tok", "ngram")
+    )
+
+
+def hot_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(ngram, cnt) — k-token shingles occurring >= ``min_count`` times
+    corpus-wide. Counts OCCURRENCES, not documents: a passage repeated
+    five times inside one document is exactly the self-repetition the
+    substring tier exists to strip."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    return (
+        _positional(docs, text_col, id_col, k)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    hot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, start_tok, end_tok, ngram) — every occurrence of a hot
+    shingle, as a half-open token span. The audit surface: log/inspect
+    what the strip pass WOULD remove before committing to it."""
+    return (
+        _positional(docs, text_col, id_col, k)
+        .join(hot.select("ngram"), "ngram")
+        .select(
+            "doc_id",
+            "start_tok",
+            (F.col("start_tok") + F.lit(k)).alias("end_tok"),
+            "ngram",
+        )
+    )
+
+
+def strip_duplicate_ngrams(
+    docs: DataFrame,
+    hot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed) — the corpus with every
+    token covered by at least one hot-shingle occurrence removed and the
+    survivors re-joined with single spaces. Removes ALL occurrences
+    (the conservative training-data policy: repeated boilerplate carries
+    no signal worth keeping once); a keep-first-copy policy is a
+    downstream choice over duplicate_ngram_spans, not baked in here."""
+    spans = duplicate_ngram_spans(docs, hot, text_col, id_col, k)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start_tok"), F.col("end_tok") - 1)
+            ).alias("_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("_idx")).alias("_covered"))
+    )
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    joined = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "_toks",
+        F.coalesce("_covered", F.array().cast("array<int>")).alias("_cov"),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.col("_toks"),
+                lambda t, i: ~F.array_contains(F.col("_cov"), i.cast("int")),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        F.size("_cov").alias("n_removed"),
+    )

@@ -122,6 +122,22 @@ def test_no_python_udfs_in_hot_paths(spark):
         _physical(simhash(docs)),
         _physical(brute_force_topk(emb, emb.limit(5))),
     ]
+    from json_schema_py_spark.operators.classifier import (
+        score_quality,
+        train_nb_classifier,
+    )
+    from json_schema_py_spark.operators.substring import (
+        hot_ngrams,
+        strip_duplicate_ngrams,
+    )
+
+    labeled = docs.select(
+        "doc_id", "text", F.when(F.col("lang") == "en", 1).otherwise(0).alias("label")
+    )
+    w, b = train_nb_classifier(labeled)
+    hot = hot_ngrams(docs.select("doc_id", "text"), k=8, min_count=2)
+    plans.append(_physical(score_quality(labeled, w, b)))
+    plans.append(_physical(strip_duplicate_ngrams(docs.select("doc_id", "text"), hot, k=8)))
     for p in plans:
         assert "EvalPython" not in p and "InPandas" not in p
 
@@ -529,3 +545,50 @@ def test_curation_drop_lists_are_not_force_broadcast(spark):
     assert outer_lines, "expected the final reason join in the plan"
     for l in outer_lines:
         assert "Broadcast" not in l, f"reason join must not broadcast: {l}"
+
+
+def test_classifier_weights_table_is_not_force_broadcast(spark):
+    """Round-6: score_quality's weights table is the TRAINING vocabulary —
+    small for curated seed sets, but nothing bounds it structurally, so it
+    must reach the token stream via a plain shuffle join (Spark's size
+    threshold auto-broadcasts genuinely small models). The only hinted
+    broadcast is the 1-row bias frame."""
+    from json_schema_py_spark.operators.classifier import (
+        score_quality,
+        train_nb_classifier,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text",
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"))
+    )
+    w, b = train_nb_classifier(docs)
+    with _with_auto_broadcast_off(spark):
+        plan = _physical(score_quality(docs, w, b))
+    assert "SortMergeJoin" in plan, "weights join must survive without broadcast"
+    # exactly the hinted 1-row bias/totals broadcasts remain — no
+    # BroadcastHashJoin on an unbounded table (bias attaches via a
+    # broadcast nested loop over 1 row)
+    for l in plan.splitlines():
+        if "BroadcastHashJoin" in l:
+            raise AssertionError(f"no equi-join may be force-broadcast: {l}")
+
+
+def test_substring_hot_table_is_not_force_broadcast(spark):
+    """Round-6: the hot-shingle table is bounded only by the repetition
+    profile of the corpus — shuffle joins everywhere, and the corpus count
+    pass must be ONE map-side-combinable aggregate."""
+    from json_schema_py_spark.operators.substring import (
+        hot_ngrams,
+        strip_duplicate_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    hot = hot_ngrams(docs, k=8, min_count=2)
+    hot_plan = _physical(hot)
+    assert "partial_count" in hot_plan, "hot count must map-side combine"
+    with _with_auto_broadcast_off(spark):
+        plan = _physical(strip_duplicate_ngrams(docs, hot, k=8))
+    assert "SortMergeJoin" in plan, "hot joins must survive without broadcast"
+    assert "BroadcastHashJoin" not in plan

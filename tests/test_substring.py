@@ -1,0 +1,79 @@
+"""Substring-level dedup (hot n-gram span removal) — contract tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.operators.substring import (
+    duplicate_ngram_spans,
+    hot_ngrams,
+    strip_duplicate_ngrams,
+)
+
+BANNER = "alpha beta gamma delta"  # 4 tokens
+
+
+def _corpus(spark):
+    rows = [
+        (0, f"unique zero text {BANNER} tail zero"),
+        (1, f"other one body {BANNER} trailing words here"),
+        (2, f"{BANNER} {BANNER} doubled up"),  # self-repetition
+        (3, "completely unrelated document body"),
+        (4, "tiny"),  # fewer than k tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_ngrams_counts_occurrences(spark):
+    docs = _corpus(spark)
+    hot = {(r["ngram"], r["cnt"]) for r in hot_ngrams(docs, k=4, min_count=3).collect()}
+    # the banner occurs 4 times (docs 0, 1, and twice in doc 2)
+    assert (BANNER, 4) in hot
+    # nothing else reaches 3 occurrences
+    assert all(ng == BANNER for ng, _ in hot)
+    with pytest.raises(ValueError, match="min_count"):
+        hot_ngrams(docs, min_count=1)
+    with pytest.raises(ValueError, match="k must"):
+        hot_ngrams(docs, k=0)
+
+
+def test_duplicate_spans_positions(spark):
+    docs = _corpus(spark)
+    hot = hot_ngrams(docs, k=4, min_count=3)
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in duplicate_ngram_spans(docs, hot, k=4).collect()
+    }
+    # 0-based token positions, half-open [start, end)
+    assert spans == {(0, 3, 7), (1, 3, 7), (2, 0, 4), (2, 4, 8)}
+
+
+def test_strip_removes_all_occurrences(spark):
+    docs = _corpus(spark)
+    hot = hot_ngrams(docs, k=4, min_count=3)
+    out = {r["doc_id"]: r for r in strip_duplicate_ngrams(docs, hot, k=4).collect()}
+    assert len(out) == 5  # every doc survives, stripped or not
+    assert out[0]["clean_text"] == "unique zero text tail zero"
+    assert out[1]["clean_text"] == "other one body trailing words here"
+    assert out[2]["clean_text"] == "doubled up"  # both copies removed
+    assert out[3]["clean_text"] == "completely unrelated document body"
+    assert out[4]["clean_text"] == "tiny"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (10, 8)
+    assert out[3]["n_removed"] == 0
+
+
+def test_strip_overlapping_hot_shingles_union(spark):
+    """Overlapping hot shingles cover a contiguous span once — removed
+    token count is the UNION of covered indices, not the sum."""
+    long = "w0 w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [(i, long) for i in range(3)] + [(9, "solo body")],
+        "doc_id long, text string",
+    )
+    hot = hot_ngrams(docs, k=4, min_count=3)
+    # shingles w0..w3, w1..w4, w2..w5 are each hot (3 occurrences)
+    assert hot.count() == 3
+    out = {r["doc_id"]: r for r in strip_duplicate_ngrams(docs, hot, k=4).collect()}
+    for i in range(3):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_removed"] == 6  # union of three overlapping spans
+    assert out[9]["clean_text"] == "solo body"
