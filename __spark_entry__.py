@@ -531,10 +531,18 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4: corpus domain frequency — URLs planted per residue class
-    (the synthetic corpus has none), domains extracted scheme-stripped /
-    lowercased / www-stripped; DuckDB mirrors the regex pipeline."""
-    from json_schema_py_spark.operators.contamination import domain_counts
+    """Round-4 counts arm + round-6 cap arm on ONE planted-URL corpus,
+    normalized to (arm, domain, a, b):
+      - 'counts': corpus domain frequency — (domain, n_docs, n_urls);
+      - 'cap': host-diversity cap (domain_cap, n_per_domain=5) —
+        (first-url domain, doc_id, rank_in_domain); exempt no-URL docs
+        carry NULL domain/rank, capped docs are absent.
+    DuckDB mirrors the regex pipeline, the first-url extraction, and the
+    row_number cap exactly."""
+    from json_schema_py_spark.operators.contamination import (
+        domain_cap,
+        domain_counts,
+    )
 
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -549,7 +557,19 @@ def q_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return domain_counts(d)
+    counts = domain_counts(d).select(
+        F.lit("counts").alias("arm"),
+        "domain",
+        F.col("n_docs").cast("long").alias("a"),
+        F.col("n_urls").cast("long").alias("b"),
+    )
+    cap = domain_cap(d, n_per_domain=5).select(
+        F.lit("cap").alias("arm"),
+        "domain",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("rank_in_domain").cast("long").alias("b"),
+    )
+    return counts.unionByName(cap)
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1951,9 +1971,26 @@ WITH d AS (
   FROM u
 ), per AS (
   SELECT doc_id, domain, COUNT(*) AS urls FROM dom GROUP BY 1, 2
+), first_dom AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(
+      list_extract(regexp_extract_all(text,
+        'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?::[0-9]+)?(?:/[^\s]*)?'), 1),
+      'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)), '^www\.', '') AS domain
+  FROM d
+), ranked AS (
+  SELECT doc_id, domain,
+    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id ASC) AS rnk
+  FROM first_dom WHERE domain IS NOT NULL
 )
-SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(urls) AS BIGINT) AS n_urls
+SELECT 'counts' AS arm, domain, CAST(COUNT(*) AS BIGINT) AS a, CAST(SUM(urls) AS BIGINT) AS b
 FROM per GROUP BY domain
+UNION ALL
+SELECT 'cap', domain, CAST(doc_id AS BIGINT), CAST(rnk AS BIGINT)
+FROM ranked WHERE rnk <= 5
+UNION ALL
+SELECT 'cap', NULL, CAST(doc_id AS BIGINT), NULL
+FROM first_dom WHERE domain IS NULL
 """,
         # two arms normalized to (arm, a, b, v): 'sig' = fingerprints;
         # 'pairs' = brute-force Hamming truth — the block-partition join is

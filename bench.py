@@ -313,6 +313,48 @@ def run_benchmarks(cpus: int) -> dict:
         for t in (vocab, uni, bi):
             t.unpersist()
 
+        # round-6 operators at the same 2M corpus: NB-classifier train+
+        # score (one exploded groupBy + one shuffle-join scoring pass) and
+        # substring dedup (hot 8-gram count + covered-token strip). The
+        # corpus replicates base texts VERBATIM, so every shingle occurs
+        # >= REPLICATION times; hot must mean "repeated in the BASE
+        # corpus" (>= 3x) or the strip degenerates to removing everything.
+        from json_schema_py_spark.operators.classifier import (
+            score_quality,
+            train_nb_classifier,
+        )
+        from json_schema_py_spark.operators.substring import (
+            hot_ngrams,
+            strip_duplicate_ngrams,
+        )
+
+        labeled = docs_big.select(
+            "doc_id",
+            "text",
+            (F.crc32(F.col("text")) % 2 == 0).cast("int").alias("label"),
+        )
+        t0 = time.time()
+        w, b = train_nb_classifier(labeled)
+        w, b = w.persist(), b.persist()
+        _ = (w.count(), b.count())
+        queries["classifier_train_2m_cold"] = round(time.time() - t0, 3)
+        queries["classifier_score_2m"] = min_of(
+            lambda: score_quality(labeled, w, b)
+            .agg(F.count(F.lit(1)), F.sum("score"), F.sum("matched"))
+            .collect()
+        )
+        for t in (w, b):
+            t.unpersist()
+
+        hot = hot_ngrams(d2m, k=8, min_count=3 * REPLICATION).persist()
+        n_hot = hot.count()
+        queries["substring_strip_2m"] = min_of(
+            lambda: strip_duplicate_ngrams(d2m, hot, k=8)
+            .agg(F.count(F.lit(1)), F.sum("n_removed"), F.sum("n_tokens"))
+            .collect()
+        )
+        hot.unpersist()
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",

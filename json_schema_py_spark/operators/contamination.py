@@ -396,3 +396,50 @@ def flag_blocked_domains(
         .select(F.col(id_col).alias("doc_id"), hits.alias("blocked_domains"))
         .where(F.size("blocked_domains") > 0)
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    n_per_domain: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n_per_domain`` documents per primary domain — the
+    host-diversity cap of web-curation pipelines (C4/RefinedWeb-style:
+    no single host dominates the training mix). A document's primary
+    domain is the domain of its FIRST url (``url_domains`` order);
+    documents citing no url are exempt (kept, NULL domain/rank).
+
+    Returns one row per SURVIVING doc: (doc_id, domain,
+    rank_in_domain) — capped docs are absent, exempt docs carry NULL
+    domain and NULL rank. Keep rule is deterministic: lowest doc_id
+    first within a domain.
+
+    100 TB shape: ``row_number`` + ``rank <= n`` compiles to
+    WindowGroupLimit with a PARTIAL limit below the exchange
+    (plan-asserted), so each map partition ships at most n rows per
+    domain — a hot host (the blogspot problem) costs n × input-partitions
+    shuffle rows, not its full document count. NULL-domain docs NEVER
+    enter the window: routed around it, because they would otherwise
+    form one giant skew partition and be capped as a single bogus
+    "domain". Reference analogue: none (north-rule curation addition).
+    """
+    if n_per_domain < 1:
+        raise ValueError(f"n_per_domain must be >= 1, got {n_per_domain}")
+    from pyspark.sql import Window
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        # F.get = null-safe under ANSI (element_at throws on empty array)
+        F.get(url_domains(F.col(text_col)), 0).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("doc_id").asc())
+    ranked = (
+        base.where(F.col("domain").isNotNull())
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= n_per_domain)
+    )
+    exempt = base.where(F.col("domain").isNull()).select(
+        "doc_id", "domain", F.lit(None).cast("int").alias("rank_in_domain")
+    )
+    return ranked.unionByName(exempt)

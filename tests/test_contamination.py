@@ -340,3 +340,50 @@ def test_cms_estimates_binds_build_params(spark):
     with pytest.raises(ValueError, match="metadata"):
         cms_estimates(bare, q)
     assert cms_estimates(bare, q, width=64, depth=2).count() == 1
+
+
+def test_domain_cap_keep_drop_and_exempt(spark):
+    """Round-6 host-diversity cap: lowest-doc_id survivors per first-url
+    domain, capped docs absent, no-URL docs exempt with NULL domain."""
+    import pytest
+
+    from json_schema_py_spark.operators.contamination import domain_cap
+
+    rows = [
+        (1, "see https://a.com/x"),
+        (2, "see https://www.A.com/y"),   # same domain after normalization
+        (3, "see http://a.com/z"),
+        (4, "see https://b.org/1 then https://a.com/2"),  # FIRST url -> b.org
+        (5, "no urls at all"),
+        (6, "see https://b.org/2"),
+        (7, "see https://b.org/3"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in domain_cap(d, n_per_domain=2).collect()}
+    # a.com: docs 1,2,3 -> keep 1,2; drop 3
+    assert out[1]["domain"] == "a.com" and out[1]["rank_in_domain"] == 1
+    assert out[2]["domain"] == "a.com" and out[2]["rank_in_domain"] == 2
+    assert 3 not in out
+    # b.org: docs 4,6,7 -> keep 4,6; drop 7
+    assert out[4]["domain"] == "b.org" and out[4]["rank_in_domain"] == 1
+    assert out[6]["domain"] == "b.org" and out[6]["rank_in_domain"] == 2
+    assert 7 not in out
+    # exempt: kept, NULL domain and rank
+    assert out[5]["domain"] is None and out[5]["rank_in_domain"] is None
+    with pytest.raises(ValueError, match="n_per_domain"):
+        domain_cap(d, n_per_domain=0)
+
+
+def test_domain_cap_plan_caps_before_exchange(spark):
+    """The rank<=n filter compiles to WindowGroupLimit with a Partial mode
+    below the domain exchange — a hot host ships at most n rows per map
+    partition, never its full document count."""
+    from json_schema_py_spark.operators.contamination import domain_cap
+
+    d = spark.createDataFrame(
+        [(i, f"see https://hot.com/{i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    plan = domain_cap(d, n_per_domain=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
