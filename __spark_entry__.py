@@ -358,16 +358,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-6, THREE arms — substring-level dedup (the Lee-et-al
-    hot-n-gram re-expression; operators/substring.py): ``hot`` is the
+    """Round-6, FIVE arms — sub-document dedup at both granularities
+    (operators/substring.py). N-gram tier (raw corpus): ``hot`` =
     corpus-wide 8-token shingles occurring >= 3 times (occurrence
-    counts, not doc counts); ``span`` is every hot occurrence as a
-    half-open 0-based token span; ``strip`` is the corpus with covered
-    tokens removed and survivors single-space re-joined. DuckDB
-    recomputes all three from positional shingle slices."""
+    counts, not doc counts); ``span`` = every hot occurrence as a
+    half-open 0-based token span; ``strip`` = the corpus with covered
+    tokens removed and survivors single-space re-joined. Line tier
+    (planted multi-line corpus — the base corpus is single-line):
+    ``hotline`` = trimmed lines in >= 2 distinct docs; ``stripline`` =
+    per-doc boilerplate-line removal with original bytes preserved.
+    DuckDB recomputes all five exactly."""
     from json_schema_py_spark.operators.substring import (
         duplicate_ngram_spans,
+        hot_lines,
         hot_ngrams,
+        strip_boilerplate_lines,
         strip_duplicate_ngrams,
     )
 
@@ -394,7 +399,39 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("long").alias("b"),
         F.col("clean_text").alias("txt"),
     )
-    return h.unionByName(s).unionByName(t)
+    dl = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("COPYRIGHT NOTICE\n\n"),
+                F.col("text"),
+                F.lit("\nall rights reserved"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n  COPYRIGHT NOTICE  ")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hl = hot_lines(dl, min_docs=2)
+    hla = hl.select(
+        F.lit("hotline").alias("arm"),
+        F.col("line").alias("key"),
+        F.col("n_docs").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    sl = strip_boilerplate_lines(dl, hl).select(
+        F.lit("stripline").alias("arm"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_lines").cast("long").alias("a"),
+        F.col("n_removed_lines").cast("long").alias("b"),
+        F.col("clean_text").alias("txt"),
+    )
+    return h.unionByName(s).unionByName(t).unionByName(hla).unionByName(sl)
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1765,35 @@ SELECT 'strip', CAST(t.doc_id AS VARCHAR), len(t.toks)::BIGINT,
        COALESCE((SELECT COUNT(*) FROM cov c WHERE c.doc_id = t.doc_id), 0)::BIGINT,
        COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.idx) FROM kept k WHERE k.doc_id = t.doc_id), '')
 FROM t
+UNION ALL
+SELECT * FROM (
+  WITH dl AS (
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0
+             THEN 'COPYRIGHT NOTICE' || chr(10) || chr(10) || text || chr(10) || 'all rights reserved'
+           WHEN doc_id % 5 = 0
+             THEN text || chr(10) || '  COPYRIGHT NOTICE  '
+           ELSE text END AS text
+    FROM documents
+  ), lx AS (
+    SELECT doc_id, ls, i.i AS pos, ls[i.i + 1] AS raw, trim(ls[i.i + 1]) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dl),
+         LATERAL (SELECT unnest(generate_series(0, len(ls) - 1)) AS i) i
+  ), perdoc AS (
+    SELECT DISTINCT doc_id, line FROM lx WHERE len(line) >= 1
+  ), hotl AS (
+    SELECT line, COUNT(*)::BIGINT AS nd FROM perdoc GROUP BY 1 HAVING COUNT(*) >= 2
+  ), marked AS (
+    SELECT lx.doc_id, lx.pos, lx.raw, (h.line IS NOT NULL) AS is_hot
+    FROM lx LEFT JOIN hotl h ON lx.line = h.line
+  )
+  SELECT 'hotline' AS arm, line AS key, nd AS a, NULL::BIGINT AS b, NULL::VARCHAR AS txt FROM hotl
+  UNION ALL
+  SELECT 'stripline', CAST(doc_id AS VARCHAR), COUNT(*)::BIGINT,
+         SUM(CASE WHEN is_hot THEN 1 ELSE 0 END)::BIGINT,
+         COALESCE(string_agg(CASE WHEN NOT is_hot THEN raw END, chr(10) ORDER BY pos), '')
+  FROM marked GROUP BY doc_id
+)
 """,
         "q_tfidf_terms": f"""
 WITH toks AS (

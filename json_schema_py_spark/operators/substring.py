@@ -149,3 +149,97 @@ def strip_duplicate_ngrams(
         F.size("_toks").alias("n_tokens"),
         F.size("_cov").alias("n_removed"),
     )
+
+
+# --- line-level boilerplate removal (C4/CCNet line tier) ------------------
+
+
+def hot_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """(line, n_docs) — trimmed lines appearing in >= ``min_docs``
+    DISTINCT documents: the C4/CCNet line-granularity boilerplate signal
+    (copyright footers, navigation chrome, cookie banners repeat
+    VERBATIM as whole lines across a crawl). Counts DOCUMENTS, not
+    occurrences — a line repeated inside one doc is the repetition
+    tier's business (functions/text.py), not boilerplate. Lines shorter
+    than ``min_line_chars`` after trim are exempt (never counted, never
+    stripped): empty/near-empty lines are structure, not content.
+
+    100 TB shape: one split+explode, a per-(doc,line) pre-distinct
+    groupBy so the final count needs no count-distinct shuffle (same
+    plan family as contamination.domain_counts), output bounded by the
+    hot set. At larger corpora, screen with corpus_shingle_cms first —
+    the same sketch composition as the n-gram tier above.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if min_line_chars < 1:
+        raise ValueError(f"min_line_chars must be >= 1, got {min_line_chars}")
+    per_doc = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select("doc_id", F.trim(F.col("_raw")).alias("line"))
+        .where(F.length("line") >= min_line_chars)
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    hot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_removed_lines) — the corpus with
+    every line whose TRIMMED form matches a hot line removed; surviving
+    lines keep their ORIGINAL bytes and order, re-joined with newlines.
+    Every doc survives (possibly with empty clean_text) — nothing is
+    silently dropped; n_removed_lines is the per-doc audit.
+
+    Plan: posexplode lines → ONE equi-join on the trimmed line (hot is
+    bounded, Spark's size threshold auto-broadcasts it — never forced)
+    → per-doc rebuild via array_sort(collect_list(struct(pos,...)))
+    filtered with a whole-stage-codegen HOF. Two shuffles worst-case
+    (join + rebuild), one when the hot side broadcasts.
+    """
+    ex = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select("doc_id", "pos", "raw", F.trim(F.col("raw")).alias("line"))
+    marked = ex.join(
+        hot.select("line", F.lit(True).alias("_hot")), "line", "left"
+    )
+    lines_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("p"),
+                F.col("_hot").alias("h"),
+                F.col("raw").alias("r"),
+            )
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(lines_arr, lambda s: s["h"].isNull()),
+                lambda s: s["r"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_hot").isNotNull().cast("long")).alias("n_removed_lines"),
+    )

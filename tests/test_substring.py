@@ -77,3 +77,57 @@ def test_strip_overlapping_hot_shingles_union(spark):
         assert out[i]["clean_text"] == ""
         assert out[i]["n_removed"] == 6  # union of three overlapping spans
     assert out[9]["clean_text"] == "solo body"
+
+
+def test_hot_lines_doc_counts_trim_and_exemption(spark):
+    """Line tier: hot = trimmed line in >= min_docs DISTINCT docs; in-doc
+    repeats don't inflate the count; short/empty lines exempt."""
+    import pytest
+
+    from json_schema_py_spark.operators.substring import hot_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "footer text\nbody one\nfooter text"),   # footer twice IN-doc
+            (2, "  footer text  \nbody two"),            # trims to same line
+            (3, "body three\n\nbody three tail"),
+            (4, "\n\n"),                                 # only empty lines
+        ],
+        "doc_id long, text string",
+    )
+    hot = {r["line"]: r["n_docs"] for r in hot_lines(docs, min_docs=2).collect()}
+    assert hot == {"footer text": 2}  # docs 1+2; in-doc repeat not counted
+    with pytest.raises(ValueError, match="min_docs"):
+        hot_lines(docs, min_docs=1)
+    with pytest.raises(ValueError, match="min_line_chars"):
+        hot_lines(docs, min_line_chars=0)
+
+
+def test_strip_boilerplate_lines_preserves_bytes_and_order(spark):
+    from json_schema_py_spark.operators.substring import (
+        hot_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\nreal body a\n  NAV  \ntail a"),
+            (2, "NAV\nreal body b"),
+            (3, "no boilerplate here"),
+        ],
+        "doc_id long, text string",
+    )
+    hot = hot_lines(docs, min_docs=2)
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(docs, hot).collect()}
+    # both NAV occurrences in doc 1 stripped (raw '  NAV  ' matched via trim);
+    # survivors keep original bytes and order
+    assert out[1]["clean_text"] == "real body a\ntail a"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed_lines"] == 2
+    assert out[2]["clean_text"] == "real body b"
+    assert out[3]["clean_text"] == "no boilerplate here"
+    assert out[3]["n_removed_lines"] == 0
+    # a doc that is ALL boilerplate survives with empty clean_text
+    all_nav = spark.createDataFrame([(9, "NAV"), (8, "NAV")], "doc_id long, text string")
+    hot2 = hot_lines(all_nav, min_docs=2)
+    row = {r["doc_id"]: r for r in strip_boilerplate_lines(all_nav, hot2).collect()}
+    assert row[9]["clean_text"] == "" and row[9]["n_removed_lines"] == 1
