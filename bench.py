@@ -355,6 +355,65 @@ def run_benchmarks(cpus: int) -> dict:
         )
         hot.unpersist()
 
+        # line tier at 2M: footers planted on 1/3 of docs; hot threshold
+        # follows the substring convention — the corpus replicates base
+        # texts VERBATIM (each base line lands in REPLICATION docs), so
+        # "boilerplate" must mean shared by >= 3 BASE docs
+        from json_schema_py_spark.operators.substring import (
+            hot_lines,
+            strip_boilerplate_lines,
+        )
+
+        dlines = d2m.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("(c) example corp\n"), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        hotl = hot_lines(dlines, min_docs=3 * REPLICATION).persist()
+        n_hotl = hotl.count()
+        assert n_hotl >= 1, "planted footer must be hot"
+        queries["boilerplate_strip_2m"] = min_of(
+            lambda: strip_boilerplate_lines(dlines, hotl)
+            .agg(F.count(F.lit(1)), F.sum("n_removed_lines"), F.sum("n_lines"))
+            .collect()
+        )
+        hotl.unpersist()
+
+        # domain cap at 2M: URLs planted on 1/2 of docs across synthetic
+        # hosts — one host ("hot0.example") takes half the planted mass,
+        # exercising the WindowGroupLimit partial cap on a genuinely hot key
+        from json_schema_py_spark.operators.contamination import domain_cap
+
+        durl = d2m.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" via https://hot"),
+                    F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+                    .otherwise(F.col("doc_id") % 32)
+                    .cast("string"),
+                    F.lit(".example/p"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        queries["domain_cap_2m"] = min_of(
+            lambda: domain_cap(durl, n_per_domain=1000)
+            .agg(
+                F.count(F.lit(1)),
+                F.count("domain"),
+                F.max("rank_in_domain"),
+            )
+            .collect()
+        )
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",
