@@ -404,6 +404,21 @@ def run_benchmarks(cpus: int) -> dict:
             .otherwise(F.col("text"))
             .alias("text"),
         )
+        cap_row = (
+            domain_cap(durl, n_per_domain=1000)
+            .agg(
+                F.count(F.lit(1)).alias("kept"),
+                F.count("domain").alias("capped_side"),
+                F.max("rank_in_domain").alias("max_rank"),
+            )
+            .collect()[0]
+        )
+        # planted truth (dense ids 0..n-1): hot0 = the %4 quarter, 8 cold
+        # hosts = n/32 each, every host capped at 1000; odd half exempt
+        exp_capped = min(1000, n_docs // 4) + 8 * min(1000, n_docs // 32)
+        assert cap_row["capped_side"] == exp_capped, (cap_row, exp_capped)
+        assert cap_row["kept"] == exp_capped + n_docs // 2, cap_row
+        assert cap_row["max_rank"] == min(1000, n_docs // 4), cap_row
         queries["domain_cap_2m"] = min_of(
             lambda: domain_cap(durl, n_per_domain=1000)
             .agg(
