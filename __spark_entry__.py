@@ -300,21 +300,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(25)
 
 
-def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from json_schema_py_spark.operators.dedup import minhash_signatures
-
-    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
-    sigs = minhash_signatures(d, num_hashes=4)
-    return sigs.select(
-        "id",
-        *[F.get(F.col("sig"), i).alias(f"mh{i}") for i in range(4)],
-    )
-
-
 def q_combined_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 (VERDICT r03 item 6): MinHash + SimHash in ONE projection
-    over ONE tokenize pass — bit-identical to the standalone operators
-    (oracle composes the q_minhash and q_simhash SQL and joins)."""
+    over ONE tokenize pass — bit-identical to the standalone operators.
+    The oracle recomputes BOTH signature families from scratch (it
+    composes the former standalone q_minhash SQL with the simhash CTE and
+    joins), so this row fully attests minhash_signatures too — the
+    standalone q_minhash query was absorbed here in round 6 to free a
+    gate slot under the driver's 50-row cap."""
     from json_schema_py_spark.operators.dedup import combined_signatures
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
@@ -479,22 +472,84 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO arms (round-6 consolidation, both round-5 operators):
-    ``hash`` is the deterministic Bernoulli-by-hash sample — membership
-    a pure function of the row (seeded md5 < fraction x 2^60), zero
-    shuffle, layout-independent, monotone in fraction. ``stratified`` is
-    the exact-n-per-stratum sample — rank by (seeded hash, id) within
-    each stratum, keep the first 25; output bounded at strata x n at any
-    corpus size. DuckDB recomputes both with identical arithmetic."""
-    from json_schema_py_spark.operators.sampling import hash_sample, stratified_sample
+    """THREE arms (round-6 consolidation, same seeded-hash determinism
+    family): ``hash`` is the deterministic Bernoulli-by-hash sample —
+    membership a pure function of the row (seeded md5 < fraction x 2^60),
+    zero shuffle, layout-independent, monotone in fraction.
+    ``stratified`` is the exact-n-per-stratum sample — rank by (seeded
+    hash, id) within each stratum, keep the first 25; output bounded at
+    strata x n at any corpus size. ``shards`` is the deterministic global
+    training shuffle — seeded hash drives shard assignment (mod 8) AND
+    within-shard position, one hash shuffle + partition-local sort, no
+    global sort (doc_id < 200 slice keeps the attested rows bounded;
+    determinism is corpus-wide). shard_id/pos are NULL on the sampling
+    arms. DuckDB recomputes all three with identical md5 arithmetic."""
+    from json_schema_py_spark.operators.sampling import (
+        hash_sample,
+        shuffle_shards,
+        stratified_sample,
+    )
 
+    nulls = [
+        F.lit(None).cast("long").alias("shard_id"),
+        F.lit(None).cast("long").alias("pos"),
+    ]
     h = hash_sample(_docs(spark, sf_dir), 0.2, seed="r5").select(
-        F.lit("hash").alias("arm"), "doc_id", "source"
+        F.lit("hash").alias("arm"), "doc_id", "source", *nulls
     )
     s = stratified_sample(_docs(spark, sf_dir), "source", 25, seed="r5").select(
-        F.lit("stratified").alias("arm"), "doc_id", "source"
+        F.lit("stratified").alias("arm"), "doc_id", "source", *nulls
     )
-    return h.unionByName(s)
+    sh = (
+        shuffle_shards(_docs(spark, sf_dir).where(F.col("doc_id") < 200), 8, seed="r6")
+        .select(
+            F.lit("shards").alias("arm"),
+            "doc_id",
+            "source",
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "pos",
+        )
+    )
+    return h.unionByName(s).unionByName(sh)
+
+
+def q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (round-6; Xie et al. 2023), TWO arms on
+    one weights frame. Target distribution = docs 0-199's hashed
+    unigram+bigram profile (512 buckets), raw = the whole corpus; weight
+    = per-doc log likelihood ratio with add-one smoothing.
+
+    ``weights`` attests the weighting math itself on docs 0-99 (bounded
+    slice; the formula is corpus-wide). ``resample`` attests the Gumbel
+    top-k draw: key = log_w + (-ln(-ln(u))), u from the seeded md5 of the
+    id, top 300 by key — sampling-without-replacement proportional to
+    exp(log_w). DuckDB recomputes the ENTIRE pipeline: feature lists,
+    bucket hashing, both profiles, smoothing constants, Gumbel keys."""
+    from json_schema_py_spark.operators.importance import (
+        hashed_ngram_profile,
+        importance_resample,
+        importance_weights,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = hashed_ngram_profile(d.where(F.col("doc_id") < 200), 512)
+    raw = hashed_ngram_profile(d, 512)
+    w = importance_weights(d, target, raw, 512)
+    wa = w.where(F.col("doc_id") < 100).select(
+        F.lit("weights").alias("arm"),
+        "doc_id",
+        "n_feats",
+        F.round("log_w", 6).alias("log_w"),
+        F.lit(None).cast("double").alias("key"),
+    )
+    ra = importance_resample(w, 300, seed="r6").select(
+        F.lit("resample").alias("arm"),
+        "doc_id",
+        "n_feats",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("key", 6).alias("key"),
+    )
+    return wa.unionByName(ra)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,7 +1287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_summary": q_pack_summary,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_minhash": q_minhash,
         "q_combined_signatures": q_combined_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_lm_perplexity": q_lm_perplexity,
@@ -1241,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": q_substring_dedup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sampling": q_sampling,
+        "q_importance": q_importance,
         "q_media_decode": q_media_decode,
         "q_contamination": q_contamination,
         "q_pii_scan": q_pii_scan,
@@ -1670,17 +1725,6 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM base a, base b WHERE a.id < b.id
 ORDER BY jaccard DESC, id_a, id_b LIMIT 25
 """,
-        "q_minhash": f"""
-WITH base AS (
-  SELECT doc_id AS id, {sh} AS sh FROM documents WHERE doc_id < 50
-)
-SELECT id,
-  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh0')})) AS mh0,
-  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh1')})) AS mh1,
-  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh2')})) AS mh2,
-  list_min(list_transform(sh, s -> {_hash64_sql('s', 'mh3')})) AS mh3
-FROM base
-""",
         # oracle = full brute-force Jaccard over the same corpus: the testdata
         # itself carries planted near-dup pairs (plus our +100000 copies), and
         # the banded LSH must reach them all (16 hashes / 4 bands keeps
@@ -1890,12 +1934,73 @@ WITH r AS (
                doc_id
     ) AS rk
   FROM documents
+), sharded AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('r6|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id < 200
 )
-SELECT 'hash' AS arm, doc_id, source FROM documents
+SELECT 'hash' AS arm, doc_id, source,
+       CAST(NULL AS BIGINT) AS shard_id, CAST(NULL AS BIGINT) AS pos
+FROM documents
 WHERE ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       < {int(0.2 * (1 << 60))}
 UNION ALL
-SELECT 'stratified', doc_id, source FROM r WHERE rk <= 25
+SELECT 'stratified', doc_id, source, NULL, NULL FROM r WHERE rk <= 25
+UNION ALL
+SELECT 'shards', doc_id, source, h % 8,
+       ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+FROM sharded
+""",
+        # DSIR end-to-end recompute: tagged unigram+bigram feature lists,
+        # seeded-md5 bucket hashing into 512 buckets, target (docs 0-199)
+        # and raw (full corpus) profiles, add-one-smoothed log ratios with
+        # the n_feats * smoothing-constant identity, and the deterministic
+        # Gumbel top-300 (u from the 'r6'-seeded hash of the id).
+        "q_importance": f"""
+WITH d AS (
+  SELECT doc_id, list_concat(
+    list_transform(toks, t -> 'u|' || t),
+    [ 'b|' || toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]
+  ) AS feats
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+occ AS (
+  SELECT doc_id, {_hash64_sql('f', 'dsir')} % 512 AS bucket
+  FROM (SELECT doc_id, unnest(feats) AS f FROM d)
+),
+tp AS (SELECT bucket, COUNT(*) AS ct FROM occ WHERE doc_id < 200 GROUP BY bucket),
+rp AS (SELECT bucket, COUNT(*) AS cr FROM occ GROUP BY bucket),
+tot AS (
+  SELECT ln((SELECT COALESCE(SUM(cr), 0) FROM rp) + 512.0)
+       - ln((SELECT COALESCE(SUM(ct), 0) FROM tp) + 512.0) AS smooth_const
+),
+ratio AS (
+  SELECT COALESCE(tp.bucket, rp.bucket) AS bucket,
+         ln(COALESCE(ct, 0) + 1.0) - ln(COALESCE(cr, 0) + 1.0) AS lr
+  FROM tp FULL OUTER JOIN rp ON tp.bucket = rp.bucket
+),
+summed AS (
+  SELECT occ.doc_id, SUM(COALESCE(ratio.lr, 0.0)) AS s
+  FROM occ LEFT JOIN ratio ON occ.bucket = ratio.bucket
+  GROUP BY occ.doc_id
+),
+w AS (
+  SELECT d.doc_id, len(d.feats)::BIGINT AS n_feats,
+         COALESCE(summed.s, 0.0) + len(d.feats) * tot.smooth_const AS log_w
+  FROM d LEFT JOIN summed ON d.doc_id = summed.doc_id, tot
+),
+keyed AS (
+  SELECT doc_id, n_feats, log_w,
+    log_w + (-ln(-ln((({_hash64_sql("CAST(doc_id AS VARCHAR)", 'r6')}) + 0.5)
+                     / 1152921504606846976.0))) AS key
+  FROM w
+)
+SELECT 'weights' AS arm, doc_id, n_feats, ROUND(log_w, 6) AS log_w,
+       CAST(NULL AS DOUBLE) AS key
+FROM w WHERE doc_id < 100
+UNION ALL
+SELECT 'resample', doc_id, n_feats, ROUND(log_w, 6), ROUND(key, 6)
+FROM (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 300) t
 """,
         # three arms. 'exact': brute-force list_intersect over the SAME
         # 8-gram shingle definition. 'cms': the ENTIRE CMS composition

@@ -5,7 +5,7 @@ upgrades, because membership is a pure function of the ROW (seeded md5 of
 the id), never of Spark's partition-RNG state (df.sample is neither
 stable across layouts nor oracle-recomputable).
 
-Two flavors, two scale shapes:
+Three flavors, three scale shapes:
 
 * ``hash_sample`` — Bernoulli-by-hash: keep rows whose 60-bit seeded hash
   falls under fraction × 2^60. ZERO shuffle (a pure filter projection,
@@ -17,7 +17,11 @@ Two flavors, two scale shapes:
   identical rows. For per-stratum caps/quotas (domain quotas, per-source
   eval slices) where exact counts matter more than the sort.
 
-Both are exactly recomputable in DuckDB with the same md5 arithmetic
+* ``shuffle_shards`` — deterministic global training shuffle: seeded
+  hash → shard assignment + within-shard position. ONE hash shuffle on
+  the shard key plus a partition-local external sort; no global sort.
+
+All are exactly recomputable in DuckDB with the same md5 arithmetic
 (functions/text.stable_hash64) — gate queries q_hash_sample /
 q_stratified_sample recompute every kept row.
 """
@@ -72,4 +76,41 @@ def stratified_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the write-path
+    op every training run needs: an order that is (a) uniformly random
+    w.r.t. any input structure, (b) a pure function of (seed, id) so
+    re-runs, resumed runs, and engine upgrades produce the IDENTICAL
+    order, (c) splittable into n_shards files.
+
+    One seeded hash drives both coordinates: shard_id = h mod n_shards,
+    pos = dense rank of (h, id) within the shard (0-based). Plan shape is
+    exactly Spark's production shard-write pattern — one hash-shuffle on
+    shard_id, then a PARTITION-LOCAL sort (window per shard; each shard
+    is corpus/n_shards rows and Spark's external sort spills, so size
+    n_shards for the target corpus: at 100 TB use 10^4-10^5 shards, never
+    32). No global sort exists anywhere in the plan.
+
+    Output: input columns + (shard_id, pos). Exactly recomputable in
+    DuckDB (gate query q_sampling 'shards' arm)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard_id", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
     )

@@ -130,3 +130,55 @@ def test_dedup_clusters_plan_bounded_under_deep_upstream(spark):
     plan = clusters._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 20_000, f"plan grew with upstream depth: {len(plan)} chars"
     assert "LogicalRDD" in plan  # lineage was truncated to the checkpointed RDD
+
+
+def test_shuffle_shards_contract(spark):
+    """Deterministic global training shuffle: every input row keeps
+    exactly one (shard_id, pos); positions are 0..n_shard-1 contiguous
+    per shard; the whole assignment is a pure function of (seed, id)."""
+    import hashlib
+
+    from json_schema_py_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    got = shuffle_shards(docs, 8, seed="t").select("doc_id", "shard_id", "pos").collect()
+    assert len(got) == n
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard_id"], []).append((r["pos"], r["doc_id"]))
+    assert set(by_shard) == set(range(8))  # 500 uniform rows cover all 8
+    for shard, rows in by_shard.items():
+        assert sorted(p for p, _ in rows) == list(range(len(rows)))
+    # hand-recompute the full assignment from the seeded md5
+    def h(i):
+        return int(hashlib.md5(f"t|{i}".encode()).hexdigest()[:15], 16)
+
+    exp_shard = {r["doc_id"]: h(r["doc_id"]) % 8 for r in got}
+    assert {r["doc_id"]: r["shard_id"] for r in got} == exp_shard
+    for shard, rows in by_shard.items():
+        ids_by_pos = [d for _, d in sorted(rows)]
+        assert ids_by_pos == sorted(ids_by_pos, key=lambda d: (h(d), d))
+    # layout-independent
+    again = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in shuffle_shards(docs.repartition(13), 8, seed="t")
+        .select("doc_id", "shard_id", "pos")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["shard_id"], r["pos"]) for r in got}
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(docs, 0)
+
+
+def test_shuffle_shards_plan_no_global_sort(spark):
+    """One hash exchange on the shard key + a partition-local sort — the
+    production shard-write shape. A global sort (range partitioning) or a
+    single-partition exchange would serialize the corpus."""
+    from json_schema_py_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = shuffle_shards(docs, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shard_id" in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
