@@ -429,6 +429,71 @@ def run_benchmarks(cpus: int) -> dict:
             .collect()
         )
 
+        # DSIR importance resampling at 2M: target = a 1% id slice (the
+        # texts replicate base docs, so the target profile is a genuine
+        # subsample of the raw distribution). Profiles are reusable
+        # artifacts (like the LM): fit cold once, persist, then the
+        # weighting pass + Gumbel top-k are the steady-state cost.
+        from json_schema_py_spark.operators.importance import (
+            hashed_ngram_profile,
+            importance_resample,
+            importance_weights,
+        )
+
+        n_buckets = 65_536
+        t0 = time.time()
+        tprof = hashed_ngram_profile(
+            d2m.where(F.col("doc_id") % 100 == 0), n_buckets
+        ).persist()
+        rprof = hashed_ngram_profile(d2m, n_buckets).persist()
+        prof_rows = (tprof.count(), rprof.count())
+        assert prof_rows[0] <= n_buckets and prof_rows[1] <= n_buckets
+        queries["dsir_profiles_2m_cold"] = round(time.time() - t0, 3)
+        w2m = importance_weights(d2m, tprof, rprof, n_buckets)
+
+        def _dsir_weights():
+            row = w2m.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("log_w"), F.sum("n_feats")
+            ).collect()[0]
+            assert row["n"] == n_docs, (row["n"], n_docs)  # zero row loss
+            return row
+
+        queries["dsir_weights_2m"] = min_of(_dsir_weights)
+        wp = w2m.persist()
+        wp.count()
+        k_res = min(10_000, n_docs // 2)
+        queries["dsir_resample_top10k"] = min_of(
+            lambda: importance_resample(wp, k_res)
+            .agg(F.count(F.lit(1)), F.sum("key"))
+            .collect()
+        )
+        assert importance_resample(wp, k_res).count() == k_res
+        for t in (tprof, rprof, wp):
+            t.unpersist()
+
+        # deterministic shard-shuffle at 2M: 64 shards, one hash exchange
+        # + partition-local sort — the training-shard write path
+        from json_schema_py_spark.operators.sampling import shuffle_shards
+
+        def _shards():
+            row = (
+                shuffle_shards(d2m, 64)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("shard_id").alias("shards"),
+                    F.max("pos").alias("max_pos"),
+                )
+                .collect()[0]
+            )
+            assert row["n"] == n_docs and row["shards"] == 64, row
+            if n_docs >= 500_000:
+                # uniform hash: the biggest shard within 5% of n/64
+                # (binomial sd at 2M/64 is ~0.6%; tiny smoke corpora skip)
+                assert row["max_pos"] + 1 < (n_docs / 64) * 1.05, row
+            return row
+
+        queries["shuffle_shards_2m_x64"] = min_of(_shards)
+
     total = time.time() - t_all
     result = {
         "metric": "validated_docs_per_sec_fused_pass",
