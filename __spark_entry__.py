@@ -278,18 +278,69 @@ def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over documents ∪ planted copies (ids +100000)."""
+    """Two arms (round-6 incremental addition under the 50-row gate cap):
+
+    * 'groups' — exact dedup over documents ∪ planted byte copies
+      (ids +100000), the original q_exact_dedup surface.
+    * 'incremental' — cross-snapshot dedup of a planted batch (5 exact
+      copies +100000, 5 near-copies +200000 with 2 appended tokens, 2
+      novel docs +300000) against the corpus snapshot's persisted
+      indexes. The oracle recomputes the ENTIRE pipeline from scratch:
+      normalized fingerprints, all 16 seeded-md5 minhashes, the 4 banded
+      bucket keys (sentinel for shingle-less docs), the bucket cap, the
+      band-collision candidate set, exact-Jaccard verification, and the
+      (max jaccard, min id) best-match tie-break — so this single row
+      attests corpus_index + incremental_dedup end to end.
+    """
     from json_schema_py_spark.operators.dedup import exact_duplicates
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
 
     d = _docs(spark, sf_dir)
     extra = d.where(F.col("doc_id") < 10).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    groups = exact_duplicates(d.unionByName(extra))
-    return groups.select(
-        "fingerprint", "cnt", F.col("ids").getItem(0).alias("id_lo"),
-        F.col("ids").getItem(1).alias("id_hi"),
+    groups = exact_duplicates(d.unionByName(extra)).select(
+        F.lit("groups").alias("arm"),
+        F.col("fingerprint").alias("key"),
+        F.col("ids").getItem(0).alias("id_a"),
+        F.col("ids").getItem(1).alias("id_b"),
+        F.col("cnt"),
+        F.lit(None).cast("double").alias("score"),
     )
+
+    batch = (
+        d.where(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzzz yyyy")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") < 2).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(
+                    F.lit("totally novel sentence number "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" with no corpus counterpart at all"),
+                ).alias("text"),
+            )
+        )
+    )
+    exact_idx, band_idx = corpus_index(d)
+    inc = incremental_dedup(batch, d, exact_idx, band_idx).select(
+        F.lit("incremental").alias("arm"),
+        F.col("verdict").alias("key"),
+        F.col("doc_id").alias("id_a"),
+        F.col("matched_id").alias("id_b"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("jaccard").alias("score"),
+    )
+    return groups.unionByName(inc)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,6 +1392,10 @@ WITH d AS (
 """
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_FPRINT = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
 
 
 def _norm_toks_sql(expr: str = "text") -> str:
@@ -1363,6 +1418,23 @@ def _shingles_sql(toks: str, k: int = 3) -> str:
 
 def _hash64_sql(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"
+
+
+def _bandkeys_sql(shl: str, num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of operators/dedup._band_keys: the list of per-band
+    bucket keys ('-'-joined minhash strings), sentinel-filled for
+    shingle-less docs (Spark's aggregate over an empty array returns the
+    init sentinels)."""
+    rows = num_hashes // bands
+    sigs = [
+        f"COALESCE(list_min(list_transform({shl}, s -> {_hash64_sql('s', f'mh{i}')})), 4611686018427387904)"
+        for i in range(num_hashes)
+    ]
+    keys = [
+        " || '-' || ".join(f"({sigs[b * rows + r]})::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    ]
+    return "[" + ", ".join(keys) + "]"
 
 
 def _simhash_cte(limit: int, bits: int = 64, planted_below: int | None = None) -> str:
@@ -1709,10 +1781,70 @@ UNION ALL
 SELECT 'mixture', doc_id, source, nt::BIGINT, NULL::BIGINT, FALSE
 FROM d WHERE source NOT IN ('src0', 'src1', 'src2') OR source IS NULL
 """,
-        "q_exact_dedup": """
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
-  2::BIGINT AS cnt, doc_id AS id_lo, doc_id + 100000 AS id_hi
+        # two arms. 'groups': the sf corpus has no natural byte-duplicate
+        # groups, so the planted +100000 copies are the exact answer.
+        # 'incremental': the FULL cross-snapshot pipeline recomputed from
+        # scratch — fingerprints, 16 seeded-md5 minhashes, 4 band keys,
+        # the bucket cap, band collisions, exact-Jaccard verification and
+        # the (max jaccard, min id) best-match tie-break.
+        "q_exact_dedup": f"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS new_id, text FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz yyyy' FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 300000,
+    'totally novel sentence number ' || doc_id::VARCHAR || ' with no corpus counterpart at all'
+  FROM documents WHERE doc_id < 2
+), exact_idx AS (
+  SELECT {_FPRINT} AS fingerprint, min(doc_id) AS rep_id FROM documents GROUP BY 1
+), bsh AS (
+  SELECT new_id, {_FPRINT} AS fingerprint, {_shingles_sql(_TOKS)} AS sh_new FROM batch
+), csh AS (
+  SELECT doc_id AS old_id, {_shingles_sql(_TOKS)} AS sh_old FROM documents
+), band_no(band) AS (VALUES (0), (1), (2), (3)),
+cband AS (
+  SELECT old_id, band, bks[band + 1] AS bkey
+  FROM (SELECT old_id, {_bandkeys_sql('sh_old')} AS bks FROM csh), band_no
+), capped AS (
+  SELECT band, bkey FROM cband GROUP BY band, bkey HAVING count(*) <= 1000
+), exact_hits AS (
+  SELECT new_id, 'exact_dup' AS verdict, rep_id AS matched_id, NULL::DOUBLE AS jaccard
+  FROM bsh JOIN exact_idx USING (fingerprint)
+), rest AS (
+  SELECT bsh.* FROM bsh ANTI JOIN exact_idx USING (fingerprint)
+), bband AS (
+  SELECT new_id, band, bks[band + 1] AS bkey
+  FROM (SELECT new_id, {_bandkeys_sql('sh_new')} AS bks FROM rest), band_no
+), cand AS (
+  SELECT DISTINCT new_id, old_id
+  FROM bband JOIN capped USING (band, bkey) JOIN cband USING (band, bkey)
+), verified AS (
+  SELECT cand.new_id, cand.old_id,
+    ROUND(CASE WHEN len(list_distinct(list_concat(sh_new, sh_old))) > 0
+      THEN len(list_intersect(sh_new, sh_old))::DOUBLE
+           / len(list_distinct(list_concat(sh_new, sh_old)))
+      ELSE 0.0 END, 6) AS jaccard
+  FROM cand JOIN rest USING (new_id) JOIN csh USING (old_id)
+), near_hits AS (
+  SELECT new_id, 'near_dup' AS verdict, old_id AS matched_id, jaccard,
+    row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id ASC) AS rk
+  FROM verified WHERE jaccard >= 0.7
+), inc AS (
+  SELECT new_id, verdict, matched_id, jaccard FROM exact_hits
+  UNION ALL
+  SELECT new_id, verdict, matched_id, jaccard FROM near_hits WHERE rk = 1
+  UNION ALL
+  SELECT new_id, 'new', NULL::BIGINT, NULL::DOUBLE FROM bsh
+  WHERE new_id NOT IN (
+    SELECT new_id FROM exact_hits UNION ALL SELECT new_id FROM near_hits WHERE rk = 1
+  )
+)
+SELECT 'groups' AS arm, {_FPRINT} AS key, doc_id AS id_a,
+  doc_id + 100000 AS id_b, 2::BIGINT AS cnt, NULL::DOUBLE AS score
 FROM documents WHERE doc_id < 10
+UNION ALL
+SELECT 'incremental', verdict, new_id, matched_id, NULL::BIGINT, jaccard FROM inc
 """,
         "q_ngram_jaccard": f"""
 WITH base AS (

@@ -1,0 +1,199 @@
+"""Incremental (cross-snapshot) deduplication — the production shape for a
+continuously-ingested corpus: dedup each NEW batch against the EXISTING
+corpus via two persisted, reusable indexes instead of re-running pairwise
+dedup over snapshot ∪ batch (which re-shuffles the whole lake per batch).
+
+Two index tiers, both id-only (never text payloads):
+
+* **exact index** — (fingerprint, rep_id): one row per distinct normalized
+  text in the corpus, rep_id = the minimum doc id of the group. Bounded at
+  the distinct-text count; the batch probes it with ONE equi-join.
+* **band index** — (band, bkey, id): the banded MinHash LSH index, the
+  same banding as operators/dedup.minhash_lsh_pairs (a pair colliding in
+  ANY band is a candidate). docs × bands rows of (int, string-key, id) —
+  this is exactly the table you persist/bucket on the lake BY (band, bkey)
+  so every batch probe is a co-located join with zero index shuffle.
+
+Batch verdict per new doc, precedence exact > near > new:
+
+* ``exact_dup``  — fingerprint present in the exact index (matched_id =
+  the group representative, jaccard NULL — raw bytes may differ).
+* ``near_dup``   — a band collision whose exact word-shingle Jaccard
+  against the corpus doc verifies ≥ threshold; matched_id = the BEST match
+  (max rounded jaccard, then min corpus id — deterministic).
+* ``new``        — everything else (including band collisions that failed
+  verification: LSH candidates are candidates, never verdicts).
+
+Scale shape (100 TB doctrine):
+  - exact probe: shuffle equi-join on fingerprint (AQE; index side is
+    pre-distinct). Never a forced broadcast — the exact index is
+    corpus-scale.
+  - band probe: batch side is batch × bands id-only rows; join on
+    (band, bkey) hits the bucketed index partitions. Hot keys (boilerplate
+    band values) are CAPPED on the index side: keys holding more than
+    ``max_ids_per_bucket`` ids are excluded from candidate generation and
+    surfaced by ``incremental_oversized_keys`` — nothing silently dropped
+    without an audit row.
+  - verification: only CANDIDATE corpus ids' texts are ever touched — a
+    join of the (small) candidate set against the corpus by id, then one
+    exact-Jaccard projection. The corpus never shuffles its payload.
+  - within-batch duplicates are out of scope by design (run
+    dedup.exact_duplicates / minhash_lsh_pairs on the batch itself);
+    this operator answers "is it already in the lake".
+
+Deterministic seeded-md5 MinHash end to end → the whole pipeline has an
+exact DuckDB oracle (gate query q_exact_dedup 'incremental' arm recomputes
+fingerprints, signatures, band keys, collisions, Jaccard, and best-match
+tie-breaks from scratch).
+
+Reference parity note: the reference validator (json-schema-py) has no
+cross-snapshot surface — training-data-pipeline extension per SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_schema_py_spark.functions.text import text_fingerprint, word_shingles
+from json_schema_py_spark.operators.dedup import _band_keys, _jaccard
+from json_schema_py_spark.util import ensure_parallelism
+
+
+def corpus_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two persisted dedup indexes of a corpus snapshot:
+    (exact_index(fingerprint, rep_id), band_index(band, bkey, id)).
+    Both are id-only; write band_index bucketed by (band, bkey)."""
+    base = ensure_parallelism(corpus)
+    exact = (
+        base.select(
+            text_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("rep_id"))
+    )
+    banded = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _band_keys(word_shingles(F.col(text_col), shingle_k), num_hashes, bands)
+        ).alias("band", "bkey"),
+    )
+    return exact, banded
+
+
+def incremental_oversized_keys(
+    band_index: DataFrame, max_ids_per_bucket: int
+) -> DataFrame:
+    """Audit: band-index keys excluded from candidate generation by the
+    bucket cap — (band, bkey, n_ids). Operationally these are boilerplate
+    band values; route them to the substring/boilerplate tiers instead."""
+    return (
+        band_index.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_ids_per_bucket)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_ids_per_bucket: int = 1000,
+) -> DataFrame:
+    """Verdict per batch doc against the indexed snapshot:
+    (doc_id, verdict, matched_id, jaccard). num_hashes/bands/shingle_k
+    must match the corpus_index build."""
+    b = batch.select(
+        F.col(id_col).alias("new_id"),
+        text_fingerprint(F.col(text_col)).alias("fingerprint"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh_new"),
+    ).select(
+        "new_id",
+        "fingerprint",
+        "sh_new",
+        _band_keys(F.col("sh_new"), num_hashes, bands).alias("bkeys"),
+    )
+
+    exact_hits = b.join(exact_index, "fingerprint").select(
+        "new_id",
+        F.lit("exact_dup").alias("verdict"),
+        F.col("rep_id").alias("matched_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+
+    rest = b.join(exact_index, "fingerprint", "left_anti")
+
+    capped_index = band_index.join(
+        incremental_oversized_keys(band_index, max_ids_per_bucket).select(
+            "band", "bkey"
+        ),
+        ["band", "bkey"],
+        "left_anti",
+    )
+    cand = (
+        rest.select("new_id", F.posexplode("bkeys").alias("band", "bkey"))
+        .join(capped_index, ["band", "bkey"])
+        .select("new_id", F.col("id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    verified = (
+        cand.join(rest.select("new_id", "sh_new"), "new_id")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("old_id"),
+                word_shingles(F.col(text_col), shingle_k).alias("sh_old"),
+            ),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.round(_jaccard(F.col("sh_new"), F.col("sh_old")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id").asc()
+    )
+    near_hits = (
+        verified.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .select(
+            "new_id",
+            F.lit("near_dup").alias("verdict"),
+            F.col("old_id").alias("matched_id"),
+            "jaccard",
+        )
+    )
+
+    matched = exact_hits.select("new_id").unionByName(near_hits.select("new_id"))
+    fresh = (
+        b.select("new_id")
+        .join(matched, "new_id", "left_anti")
+        .select(
+            "new_id",
+            F.lit("new").alias("verdict"),
+            F.lit(None).cast("long").alias("matched_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return (
+        exact_hits.unionByName(near_hits)
+        .unionByName(fresh)
+        .withColumnRenamed("new_id", id_col)
+    )

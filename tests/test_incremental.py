@@ -1,0 +1,113 @@
+"""Incremental cross-snapshot dedup (round-6): verdict tiers, precedence,
+bucket cap + audit, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+LONG = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, LONG),
+        (1, "completely different text about something else entirely here"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "Signal Message: system online and nominal status reported"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_verdict_tiers(spark):
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
+
+    corpus = _corpus(spark)
+    batch = spark.createDataFrame(
+        [
+            (100, LONG),  # byte-exact -> exact_dup(0)
+            (101, "SIGNAL MESSAGE: system online, and nominal status reported!!"),
+            # ^ normalized-exact vs doc 3 -> exact_dup(3)
+            (102, LONG + " trailing extras appended"),  # near-dup of 0
+            (103, "a totally novel document unseen in the corpus snapshot"),
+        ],
+        "doc_id long, text string",
+    )
+    exact, band = corpus_index(corpus)
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"], r["jaccard"])
+        for r in incremental_dedup(batch, corpus, exact, band).collect()
+    }
+    assert set(got) == {100, 101, 102, 103}  # zero row loss
+    assert got[100] == ("exact_dup", 0, None)
+    assert got[101] == ("exact_dup", 3, None)
+    assert got[102][0] == "near_dup" and got[102][1] == 0
+    assert got[102][2] >= 0.7
+    assert got[103] == ("new", None, None)
+
+
+def test_incremental_bucket_cap_and_audit(spark):
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+        incremental_oversized_keys,
+    )
+
+    # 5 byte-identical corpus docs -> identical band keys (5 ids per key)
+    corpus = spark.createDataFrame(
+        [(i, LONG) for i in range(5)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, LONG + " two extra tokens")], "doc_id long, text string"
+    )
+    exact, band = corpus_index(corpus)
+    # audit: every band key of the identical group is oversized at cap=3
+    audited = incremental_oversized_keys(band, 3).collect()
+    assert len(audited) >= 1 and all(r["n_ids"] == 5 for r in audited)
+    # cap excludes the hot keys -> the near-dup is NOT found (audited, not
+    # silent: the audit rows above are the evidence trail)
+    capped = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(batch, corpus, exact, band, max_ids_per_bucket=3).collect()
+    }
+    assert capped[100] == "new"
+    # generous cap: found, best match = min corpus id among equal jaccards
+    found = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in incremental_dedup(batch, corpus, exact, band, max_ids_per_bucket=10).collect()
+    }
+    assert found[100] == ("near_dup", 0)
+
+
+def test_incremental_no_forced_broadcast(spark):
+    """Scale doctrine: both the exact probe and the band probe are plain
+    shuffle equi-joins — nothing corpus-scale is ever force-broadcast."""
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id < 400")
+    batch = docs.where("doc_id >= 400").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    exact, band = corpus_index(corpus)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            incremental_dedup(batch, corpus, exact, band)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
