@@ -151,15 +151,19 @@ def incremental_dedup(
         .select("new_id", F.col("id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
+    # candidate semi-join BEFORE tokenizing the corpus side: shingles are
+    # computed only for corpus docs some candidate actually references
+    # (AQE broadcasts the id set when small, shuffles otherwise — never a
+    # forced broadcast; the referential.py pattern). Without this the
+    # verify join's map side tokenizes the ENTIRE corpus per batch.
+    matched_corpus = (
+        corpus.select(F.col(id_col).alias("old_id"), F.col(text_col).alias("_t"))
+        .join(cand.select("old_id").distinct(), "old_id", "left_semi")
+        .select("old_id", word_shingles(F.col("_t"), shingle_k).alias("sh_old"))
+    )
     verified = (
         cand.join(rest.select("new_id", "sh_new"), "new_id")
-        .join(
-            corpus.select(
-                F.col(id_col).alias("old_id"),
-                word_shingles(F.col(text_col), shingle_k).alias("sh_old"),
-            ),
-            "old_id",
-        )
+        .join(matched_corpus, "old_id")
         .select(
             "new_id",
             "old_id",
