@@ -804,15 +804,41 @@ def q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two arms (round-6): 'near_dup' = hyperplane-LSH bucketed cosine
+    near-dup pairs over embeddings ∪ planted copies (the original
+    surface); 'diversity' = k-means cluster-balanced representative
+    sampling (k=4, 2 Lloyd iterations, 20 kept per cluster). The oracle
+    recomputes the FULL deterministic Lloyd iteration in SQL — seed init
+    from the 4 lowest ids, rounded centroid means, rounded argmin
+    distances, empty-cluster hold, and both rank tie-breaks — so this
+    row attests kmeans_fit + kmeans_assign + semantic_diversity_sample
+    end to end."""
+    from json_schema_py_spark.operators.clustering import (
+        semantic_diversity_sample,
+    )
     from json_schema_py_spark.operators.similarity import embedding_near_dup_pairs
 
     e = _emb(spark, sf_dir)
     extra = e.where(F.col("vec_id") < 5).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    return embedding_near_dup_pairs(
+    near = embedding_near_dup_pairs(
         e.unionByName(extra), dim=64, threshold=0.99, n_planes=8
-    ).select("id_a", "id_b", "cos")
+    ).select(
+        F.lit("near_dup").alias("arm"),
+        "id_a",
+        "id_b",
+        F.col("cos").alias("score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    div = semantic_diversity_sample(e, k=4, iters=2, n_per_cluster=20).select(
+        F.lit("diversity").alias("arm"),
+        F.col("id").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.col("dist").alias("score"),
+        F.col("rank_in_cluster").cast("long").alias("rank"),
+    )
+    return near.unionByName(div)
 
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,6 +1444,46 @@ def _shingles_sql(toks: str, k: int = 3) -> str:
 
 def _hash64_sql(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+    """DuckDB mirror of operators/clustering.kmeans_fit: c0 = the k
+    lowest-id vectors; each iteration assigns by rounded (4 dp) squared-L2
+    argmin (lowest cluster on ties) and re-centers with rounded (5 dp)
+    per-dim means, holding the previous centroid for empty clusters.
+    Emits CTEs c0..c{iters}; assign against c{iters}."""
+    dist = (
+        "ROUND(list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), 4)"
+    )
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT e.vec_id, e.embedding, c.cluster, {dist} AS dist
+  FROM embeddings e CROSS JOIN c{t - 1} c
+), a{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT vec_id, embedding, cluster,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rk
+    FROM d{t}) WHERE rk = 1
+), m{t} AS (
+  SELECT cluster, list(mv ORDER BY dim) AS cvec FROM (
+    SELECT a.cluster, u.i AS dim, ROUND(avg(a.embedding[u.i]::DOUBLE), 5) AS mv
+    FROM a{t} a, (SELECT unnest(generate_series(1, {dim})) AS i) u
+    GROUP BY a.cluster, u.i
+  ) GROUP BY cluster
+), c{t} AS (
+  SELECT p.cluster, COALESCE(m{t}.cvec, p.cvec) AS cvec
+  FROM c{t - 1} p LEFT JOIN m{t} ON p.cluster = m{t}.cluster
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _bandkeys_sql(shl: str, num_hashes: int = 16, bands: int = 4) -> str:
@@ -2360,9 +2426,31 @@ SELECT 'quantized', t.* FROM (
   SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
 ) t
 """,
-        "q_embedding_near_dup": """
-SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
+        # 'near_dup': the sf corpus has no natural cosine-0.99 pairs, so
+        # the planted +100000 copies are the exact answer. 'diversity':
+        # the full deterministic Lloyd iteration recomputed in SQL.
+        "q_embedding_near_dup": f"""
+WITH {_kmeans_ctes(k=4, iters=2, dim=64)},
+dfin AS (
+  SELECT e.vec_id, c.cluster,
+    ROUND(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+      p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), 4) AS dist
+  FROM embeddings e CROSS JOIN c2 c
+), afin AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rk
+    FROM dfin) WHERE rk = 1
+)
+SELECT 'near_dup' AS arm, vec_id AS id_a, vec_id + 100000 AS id_b,
+  1.0 AS score, NULL::BIGINT AS rank
 FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT 'diversity', vec_id, cluster::BIGINT, dist, rank_in_cluster FROM (
+  SELECT vec_id, cluster, dist,
+    row_number() OVER (PARTITION BY cluster ORDER BY dist ASC, vec_id ASC) AS rank_in_cluster
+  FROM afin
+) WHERE rank_in_cluster <= 20
 """,
         # three arms sharing (arm, media_ref, mime, f0..f7). 'ppm':
         # closed-form pixel math over the deterministic gradient images —

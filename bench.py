@@ -513,9 +513,14 @@ def run_benchmarks(cpus: int) -> dict:
         idx_rows = (exact_idx.count(), band_idx.count())
         assert idx_rows[1] == n_docs * 4, idx_rows  # 4 bands per doc
         queries["incremental_index_2m_cold"] = round(time.time() - t0, 3)
-        # default cap 1000 > REPLICATION: nothing audited out; at cap
-        # REPLICATION-1 every bucket of a replicated base is oversized
-        assert incremental_oversized_keys(band_idx, 1_000).count() == 0
+        # planted truth: every bucket holds >= REPLICATION ids (byte
+        # replicas share all band keys), so at cap REPLICATION-1 the
+        # audit must fire; the probe below runs at a cap tuned to the
+        # replication (base near-dup FAMILIES merge buckets to several
+        # x REPLICATION — the sf0.1 seed has 8 byte-duplicate texts and
+        # planted near-dup pairs, which is what tripped an ==0 assert at
+        # cap 1000 on the first run of this entry)
+        assert incremental_oversized_keys(band_idx, REPLICATION - 1).count() > 0
         n_base = n_docs // REPLICATION
         base_lim = min(100, n_base)
         n_near_reps = max(1, min(25, REPLICATION // 16))
@@ -543,7 +548,10 @@ def run_benchmarks(cpus: int) -> dict:
         def _inc_probe():
             got = {
                 r["verdict"]: r["n"]
-                for r in incremental_dedup(probe, d2m, exact_idx, band_idx)
+                for r in incremental_dedup(
+                    probe, d2m, exact_idx, band_idx,
+                    max_ids_per_bucket=64 * REPLICATION,
+                )
                 .groupBy("verdict")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -561,6 +569,60 @@ def run_benchmarks(cpus: int) -> dict:
         probe.unpersist()
         exact_idx.unpersist()
         band_idx.unpersist()
+
+        # k-means diversity sampling at 800k x 64-dim embeddings (2000-vector
+        # base snapshot x REPLICATION): the model
+        # is a bounded k x dim driver artifact fitted on the base snapshot
+        # (like IVF's cell table); steady state = one shuffle-free
+        # assignment projection + the Partial WindowGroupLimit cap.
+        # Replicas of a base vector are byte-identical, so each lands in
+        # the same cluster and the expected keep count is exact.
+        from json_schema_py_spark.operators.clustering import (
+            kmeans_assign,
+            kmeans_fit,
+            semantic_diversity_sample,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb_base = emb.count()
+        emb2m = (
+            emb.crossJoin(spark.range(REPLICATION).select(F.col("id").alias("_r")))
+            .select(
+                (F.col("vec_id") + F.col("_r") * n_emb_base).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(max(cpus * 2, 8))
+            .persist()
+        )
+        n_emb = emb2m.count()
+        assert n_emb == n_emb_base * REPLICATION
+        t0 = time.time()
+        cents = kmeans_fit(emb, k=16, iters=2)
+        queries["kmeans_fit_16x2_cold"] = round(time.time() - t0, 3)
+        cluster_sizes = [
+            r["n"]
+            for r in kmeans_assign(emb2m, cents)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        exp_kept = sum(min(1_000, n) for n in cluster_sizes)
+
+        def _kdiv():
+            row = (
+                semantic_diversity_sample(emb2m, n_per_cluster=1_000, centroids=cents)
+                .agg(
+                    F.count(F.lit(1)).alias("kept"),
+                    F.max("rank_in_cluster").alias("max_rank"),
+                )
+                .collect()[0]
+            )
+            assert row["kept"] == exp_kept, (row["kept"], exp_kept)
+            assert row["max_rank"] <= 1_000, row
+            return row
+
+        queries["kmeans_diversity_800k_x64d"] = min_of(_kdiv)
+        emb2m.unpersist()
 
     total = time.time() - t_all
     result = {
