@@ -521,6 +521,10 @@ def run_benchmarks(cpus: int) -> dict:
         # planted near-dup pairs, which is what tripped an ==0 assert at
         # cap 1000 on the first run of this entry)
         assert incremental_oversized_keys(band_idx, REPLICATION - 1).count() > 0
+        # the hot-key set is a snapshot artifact: precompute + persist it
+        # with the index, never inside the probe loop
+        hot_keys = incremental_oversized_keys(band_idx, 64 * REPLICATION).persist()
+        hot_keys.count()
         n_base = n_docs // REPLICATION
         base_lim = min(100, n_base)
         n_near_reps = max(1, min(25, REPLICATION // 16))
@@ -550,7 +554,7 @@ def run_benchmarks(cpus: int) -> dict:
                 r["verdict"]: r["n"]
                 for r in incremental_dedup(
                     probe, d2m, exact_idx, band_idx,
-                    max_ids_per_bucket=64 * REPLICATION,
+                    max_ids_per_bucket=64 * REPLICATION, hot_keys=hot_keys,
                 )
                 .groupBy("verdict")
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -569,6 +573,7 @@ def run_benchmarks(cpus: int) -> dict:
         probe.unpersist()
         exact_idx.unpersist()
         band_idx.unpersist()
+        hot_keys.unpersist()
 
         # k-means diversity sampling at 800k x 64-dim embeddings (2000-vector
         # base snapshot x REPLICATION): the model

@@ -85,7 +85,11 @@ def corpus_index(
         F.posexplode(
             _band_keys(word_shingles(F.col(text_col), shingle_k), num_hashes, bands)
         ).alias("band", "bkey"),
-    )
+    ).repartition("band", "bkey")
+    # ^ the index ships clustered by its probe key: persisted/cached it
+    # keeps this outputPartitioning, so every batch probe shuffles ONLY
+    # the batch side (locally the stand-in for lake bucketing BY
+    # (band, bkey), which the docstring prescribes for the written form)
     return exact, banded
 
 
@@ -114,10 +118,18 @@ def incremental_dedup(
     shingle_k: int = 3,
     threshold: float = 0.7,
     max_ids_per_bucket: int = 1000,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Verdict per batch doc against the indexed snapshot:
     (doc_id, verdict, matched_id, jaccard). num_hashes/bands/shingle_k
-    must match the corpus_index build."""
+    must match the corpus_index build.
+
+    ``hot_keys``: the capped-bucket set (incremental_oversized_keys
+    output). It is a property of the SNAPSHOT, not the batch — compute
+    it once per index build and persist it alongside (it's tiny);
+    passing None recomputes it inline, which costs a full band-index
+    aggregation PER BATCH — fine for one-shot use, wrong for a
+    continuous probe loop."""
     b = batch.select(
         F.col(id_col).alias("new_id"),
         text_fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -138,12 +150,10 @@ def incremental_dedup(
 
     rest = b.join(exact_index, "fingerprint", "left_anti")
 
+    if hot_keys is None:
+        hot_keys = incremental_oversized_keys(band_index, max_ids_per_bucket)
     capped_index = band_index.join(
-        incremental_oversized_keys(band_index, max_ids_per_bucket).select(
-            "band", "bkey"
-        ),
-        ["band", "bkey"],
-        "left_anti",
+        hot_keys.select("band", "bkey"), ["band", "bkey"], "left_anti"
     )
     cand = (
         rest.select("new_id", F.posexplode("bkeys").alias("band", "bkey"))

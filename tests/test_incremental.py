@@ -76,6 +76,15 @@ def test_incremental_bucket_cap_and_audit(spark):
         for r in incremental_dedup(batch, corpus, exact, band, max_ids_per_bucket=3).collect()
     }
     assert capped[100] == "new"
+    # the precomputed-hot_keys path (snapshot artifact) == inline recompute
+    pre = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(
+            batch, corpus, exact, band, max_ids_per_bucket=3,
+            hot_keys=incremental_oversized_keys(band, 3),
+        ).collect()
+    }
+    assert pre == capped
     # generous cap: found, best match = min corpus id among equal jaccards
     found = {
         r["doc_id"]: (r["verdict"], r["matched_id"])
