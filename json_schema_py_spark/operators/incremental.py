@@ -93,6 +93,47 @@ def corpus_index(
     return exact, banded
 
 
+def merge_index(
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    accepted_batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Extend the snapshot indexes with ACCEPTED batch docs (the rows a
+    probe verdicted 'new') without rebuilding from the corpus:
+
+    * exact: union the batch's fingerprint groups, re-min rep_id — the
+      shuffle is bounded by index size, never corpus payload;
+    * band: plain union of id-only rows, re-clustered by (band, bkey)
+      (on the lake: an append to the bucketed index table, which keeps
+      its bucketing without this shuffle).
+
+    Equals ``corpus_index(snapshot ∪ accepted_batch)`` EXACTLY (pinned
+    in tests/test_incremental.py) — minhash/fingerprints are per-doc, so
+    index construction distributes over union; hash params must match
+    the original build. Recompute the hot-key set after merging (it's a
+    property of the index)."""
+    b_exact, b_band = corpus_index(
+        accepted_batch,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    exact = (
+        exact_index.unionByName(b_exact)
+        .groupBy("fingerprint")
+        .agg(F.min("rep_id").alias("rep_id"))
+    )
+    band = band_index.unionByName(b_band).repartition("band", "bkey")
+    return exact, band
+
+
 def incremental_oversized_keys(
     band_index: DataFrame, max_ids_per_bucket: int
 ) -> DataFrame:

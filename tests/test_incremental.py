@@ -93,6 +93,46 @@ def test_incremental_bucket_cap_and_audit(spark):
     assert found[100] == ("near_dup", 0)
 
 
+def test_merge_index_equals_rebuild_and_closes_the_loop(spark):
+    """merge_index(snapshot indexes, accepted batch) == full rebuild over
+    snapshot ∪ batch, row for row; after the merge, re-probing the same
+    batch verdicts every accepted doc exact_dup against itself."""
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+        merge_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id < 300").select("doc_id", "text")
+    batch = docs.where("doc_id >= 300 and doc_id < 360").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    exact, band = corpus_index(corpus)
+    accepted_ids = {
+        r["doc_id"]
+        for r in incremental_dedup(batch, corpus, exact, band).collect()
+        if r["verdict"] == "new"
+    }
+    accepted = batch.where(F.col("doc_id").isin(list(accepted_ids)))
+    m_exact, m_band = merge_index(exact, band, accepted)
+    r_exact, r_band = corpus_index(corpus.unionByName(accepted))
+    assert {tuple(r) for r in m_exact.collect()} == {
+        tuple(r) for r in r_exact.collect()
+    }
+    assert {tuple(r) for r in m_band.collect()} == {
+        tuple(r) for r in r_band.collect()
+    }
+    # the loop closes: the merged snapshot now owns the accepted docs
+    merged_corpus = corpus.unionByName(accepted)
+    re_probe = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in incremental_dedup(batch, merged_corpus, m_exact, m_band).collect()
+        if r["doc_id"] in accepted_ids
+    }
+    assert all(v == ("exact_dup", i) for i, v in re_probe.items())
+
+
 def test_incremental_stream_matches_batch(spark, tmp_path):
     """AvailableNow micro-batch probes against the same snapshot indexes
     produce EXACTLY the batch verdicts of the batches' union."""
