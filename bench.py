@@ -284,6 +284,16 @@ def run_benchmarks(cpus: int) -> dict:
     # headline (VERDICT r05 item 7). Gated by BENCH_HEAVY so --scaling
     # (which re-runs the whole file twice) keeps its r5-comparable cost.
     if os.environ.get("BENCH_HEAVY", "1") == "1":
+        # heavy entries are multi-second and memory-bound: the sub-second
+        # C2-warm-up problem that forced min-of-5 does not apply, and rep
+        # variance here is host-window-level (which more same-window reps
+        # cannot fix). min-of-2 keeps the driver's per-round run bounded;
+        # clean serialized records live in BASELINE.md.
+        heavy_reps = int(os.environ.get("BENCH_HEAVY_REPS", "2"))
+
+        def heavy_min_of(fn) -> float:
+            return round(min(_timed(fn) for _ in range(heavy_reps)), 3)
+
         from json_schema_py_spark.operators.keywords import tfidf_top_terms
         from json_schema_py_spark.operators.lm import (
             score_perplexity,
@@ -291,7 +301,7 @@ def run_benchmarks(cpus: int) -> dict:
         )
 
         d2m = docs_big.select("doc_id", "text")
-        queries["tfidf_top_terms"] = min_of(
+        queries["tfidf_top_terms"] = heavy_min_of(
             lambda: tfidf_top_terms(d2m, k=5, min_df=2)
             .agg(F.count(F.lit(1)), F.sum("tfidf"))
             .collect()
@@ -305,7 +315,7 @@ def run_benchmarks(cpus: int) -> dict:
         vocab, uni, bi = vocab.persist(), uni.persist(), bi.persist()
         lm_sizes = (vocab.count(), uni.count(), bi.count())
         queries["lm_train_50k_cold"] = round(time.time() - t0, 3)
-        queries["lm_score_2m"] = min_of(
+        queries["lm_score_2m"] = heavy_min_of(
             lambda: score_perplexity(d2m, vocab, uni, bi)
             .agg(F.count(F.lit(1)), F.sum("perplexity"), F.sum("n_bigrams"))
             .collect()
@@ -338,7 +348,7 @@ def run_benchmarks(cpus: int) -> dict:
         w, b = w.persist(), b.persist()
         _ = (w.count(), b.count())
         queries["classifier_train_2m_cold"] = round(time.time() - t0, 3)
-        queries["classifier_score_2m"] = min_of(
+        queries["classifier_score_2m"] = heavy_min_of(
             lambda: score_quality(labeled, w, b)
             .agg(F.count(F.lit(1)), F.sum("score"), F.sum("matched"))
             .collect()
@@ -348,7 +358,7 @@ def run_benchmarks(cpus: int) -> dict:
 
         hot = hot_ngrams(d2m, k=8, min_count=3 * REPLICATION).persist()
         n_hot = hot.count()
-        queries["substring_strip_2m"] = min_of(
+        queries["substring_strip_2m"] = heavy_min_of(
             lambda: strip_duplicate_ngrams(d2m, hot, k=8)
             .agg(F.count(F.lit(1)), F.sum("n_removed"), F.sum("n_tokens"))
             .collect()
@@ -376,7 +386,7 @@ def run_benchmarks(cpus: int) -> dict:
         hotl = hot_lines(dlines, min_docs=3 * REPLICATION).persist()
         n_hotl = hotl.count()
         assert n_hotl >= 1, "planted footer must be hot"
-        queries["boilerplate_strip_2m"] = min_of(
+        queries["boilerplate_strip_2m"] = heavy_min_of(
             lambda: strip_boilerplate_lines(dlines, hotl)
             .agg(F.count(F.lit(1)), F.sum("n_removed_lines"), F.sum("n_lines"))
             .collect()
@@ -419,7 +429,7 @@ def run_benchmarks(cpus: int) -> dict:
         assert cap_row["capped_side"] == exp_capped, (cap_row, exp_capped)
         assert cap_row["kept"] == exp_capped + n_docs // 2, cap_row
         assert cap_row["max_rank"] == min(1000, n_docs // 4), cap_row
-        queries["domain_cap_2m"] = min_of(
+        queries["domain_cap_2m"] = heavy_min_of(
             lambda: domain_cap(durl, n_per_domain=1000)
             .agg(
                 F.count(F.lit(1)),
@@ -458,11 +468,11 @@ def run_benchmarks(cpus: int) -> dict:
             assert row["n"] == n_docs, (row["n"], n_docs)  # zero row loss
             return row
 
-        queries["dsir_weights_2m"] = min_of(_dsir_weights)
+        queries["dsir_weights_2m"] = heavy_min_of(_dsir_weights)
         wp = w2m.persist()
         wp.count()
         k_res = min(10_000, n_docs // 2)
-        queries["dsir_resample_top10k"] = min_of(
+        queries["dsir_resample_top10k"] = heavy_min_of(
             lambda: importance_resample(wp, k_res)
             .agg(F.count(F.lit(1)), F.sum("key"))
             .collect()
@@ -492,7 +502,7 @@ def run_benchmarks(cpus: int) -> dict:
                 assert row["max_pos"] + 1 < (n_docs / 64) * 1.05, row
             return row
 
-        queries["shuffle_shards_2m_x64"] = min_of(_shards)
+        queries["shuffle_shards_2m_x64"] = heavy_min_of(_shards)
 
         # incremental cross-snapshot dedup at 2M: the two indexes are
         # persisted snapshot artifacts (like the LM) — build them cold
@@ -569,7 +579,7 @@ def run_benchmarks(cpus: int) -> dict:
             assert got.get("near_dup", 0) >= int(0.92 * base_lim * n_near_reps), got
             return got
 
-        queries["incremental_probe_27k_vs_2m"] = min_of(_inc_probe)
+        queries["incremental_probe_27k_vs_2m"] = heavy_min_of(_inc_probe)
         probe.unpersist()
         exact_idx.unpersist()
         band_idx.unpersist()
@@ -626,7 +636,7 @@ def run_benchmarks(cpus: int) -> dict:
             assert row["max_rank"] <= 1_000, row
             return row
 
-        queries["kmeans_diversity_800k_x64d"] = min_of(_kdiv)
+        queries["kmeans_diversity_800k_x64d"] = heavy_min_of(_kdiv)
         emb2m.unpersist()
 
     total = time.time() - t_all
