@@ -523,6 +523,11 @@ def run_benchmarks(cpus: int) -> dict:
         idx_rows = (exact_idx.count(), band_idx.count())
         assert idx_rows[1] == n_docs * 4, idx_rows  # 4 bands per doc
         queries["incremental_index_2m_cold"] = round(time.time() - t0, 3)
+        # the production hasher: same index shape, xxhash64 signatures
+        t0 = time.time()
+        _, xx_band = corpus_index(d2m, hash_impl="xxhash64")
+        assert xx_band.count() == n_docs * 4
+        queries["incremental_index_2m_xxhash_cold"] = round(time.time() - t0, 3)
         # planted truth: every bucket holds >= REPLICATION ids (byte
         # replicas share all band keys), so at cap REPLICATION-1 the
         # audit must fire; the probe below runs at a cap tuned to the

@@ -41,10 +41,14 @@ Scale shape (100 TB doctrine):
     dedup.exact_duplicates / minhash_lsh_pairs on the batch itself);
     this operator answers "is it already in the lake".
 
-Deterministic seeded-md5 MinHash end to end → the whole pipeline has an
-exact DuckDB oracle (gate query q_exact_dedup 'incremental' arm recomputes
-fingerprints, signatures, band keys, collisions, Jaccard, and best-match
-tie-breaks from scratch).
+Deterministic seeded-md5 MinHash end to end (default) → the whole pipeline
+has an exact DuckDB oracle (gate query q_exact_dedup 'incremental' arm
+recomputes fingerprints, signatures, band keys, collisions, Jaccard, and
+best-match tie-breaks from scratch). ``hash_impl="xxhash64"`` swaps the
+signature family for the JVM-intrinsic hash — 5.7x faster index builds at
+2M docs with identical verdict SEMANTICS (verification is exact Jaccard);
+the build parameters are bound to the index as column metadata and probes
+with mismatched parameters raise instead of silently finding nothing.
 
 Reference parity note: the reference validator (json-schema-py) has no
 cross-snapshot surface — training-data-pipeline extension per SURVEY.md §2.
@@ -67,10 +71,19 @@ def corpus_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_impl: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the two persisted dedup indexes of a corpus snapshot:
     (exact_index(fingerprint, rep_id), band_index(band, bkey, id)).
-    Both are id-only; write band_index bucketed by (band, bkey)."""
+    Both are id-only; write band_index bucketed by (band, bkey).
+
+    ``hash_impl``: 'md5' (default, the DuckDB-oracle-parity form) or
+    'xxhash64' — the production build: 5.7x faster signatures at 2M docs
+    (BASELINE.md round-6), identical verdict semantics (verification is
+    exact Jaccard, hash-free). The build parameters ride along as column
+    metadata on ``bkey`` and incremental_dedup REFUSES a probe whose
+    parameters disagree — a mismatched probe would silently find nothing
+    (the contamination CMS width/depth lesson, ADVICE r05)."""
     base = ensure_parallelism(corpus)
     exact = (
         base.select(
@@ -80,12 +93,29 @@ def corpus_index(
         .groupBy("fingerprint")
         .agg(F.min("id").alias("rep_id"))
     )
-    banded = base.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            _band_keys(word_shingles(F.col(text_col), shingle_k), num_hashes, bands)
-        ).alias("band", "bkey"),
-    ).repartition("band", "bkey")
+    banded = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                _band_keys(
+                    word_shingles(F.col(text_col), shingle_k),
+                    num_hashes,
+                    bands,
+                    hash_impl=hash_impl,
+                )
+            ).alias("band", "bkey"),
+        )
+        .withMetadata(
+            "bkey",
+            {
+                "hash_impl": hash_impl,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+            },
+        )
+        .repartition("band", "bkey")
+    )
     # ^ the index ships clustered by its probe key: persisted/cached it
     # keeps this outputPartitioning, so every batch probe shuffles ONLY
     # the batch side (locally the stand-in for lake bucketing BY
@@ -102,6 +132,7 @@ def merge_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_impl: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Extend the snapshot indexes with ACCEPTED batch docs (the rows a
     probe verdicted 'new') without rebuilding from the corpus:
@@ -124,6 +155,7 @@ def merge_index(
         num_hashes=num_hashes,
         bands=bands,
         shingle_k=shingle_k,
+        hash_impl=hash_impl,
     )
     exact = (
         exact_index.unionByName(b_exact)
@@ -160,6 +192,7 @@ def incremental_dedup(
     threshold: float = 0.7,
     max_ids_per_bucket: int = 1000,
     hot_keys: DataFrame | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Verdict per batch doc against the indexed snapshot:
     (doc_id, verdict, matched_id, jaccard). num_hashes/bands/shingle_k
@@ -171,6 +204,21 @@ def incremental_dedup(
     passing None recomputes it inline, which costs a full band-index
     aggregation PER BATCH — fine for one-shot use, wrong for a
     continuous probe loop."""
+    meta = band_index.schema["bkey"].metadata if "bkey" in band_index.columns else {}
+    if meta:
+        asked = {
+            "hash_impl": hash_impl,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+        }
+        built = {k: meta[k] for k in asked if k in meta}
+        if any(built[k] != asked[k] for k in built):
+            raise ValueError(
+                f"incremental_dedup probe parameters {asked} do not match "
+                f"the index build {built}: the probe would silently find "
+                f"nothing — rebuild the index or fix the probe arguments"
+            )
     b = batch.select(
         F.col(id_col).alias("new_id"),
         text_fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -179,7 +227,9 @@ def incremental_dedup(
         "new_id",
         "fingerprint",
         "sh_new",
-        _band_keys(F.col("sh_new"), num_hashes, bands).alias("bkeys"),
+        _band_keys(F.col("sh_new"), num_hashes, bands, hash_impl=hash_impl).alias(
+            "bkeys"
+        ),
     )
 
     exact_hits = b.join(exact_index, "fingerprint").select(

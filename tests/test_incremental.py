@@ -93,6 +93,43 @@ def test_incremental_bucket_cap_and_audit(spark):
     assert found[100] == ("near_dup", 0)
 
 
+def test_incremental_xxhash_impl_same_verdicts_and_mismatch_guard(spark):
+    """The xxhash64 production hasher yields the same verdicts on the
+    planted fixture (verification is exact Jaccard — the hash family only
+    shapes candidate generation); probing an index with mismatched
+    parameters raises instead of silently finding nothing."""
+    import pytest
+
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
+
+    corpus = _corpus(spark)
+    batch = spark.createDataFrame(
+        [(100, LONG), (102, LONG + " trailing extras appended"),
+         (103, "a totally novel document unseen in the corpus snapshot")],
+        "doc_id long, text string",
+    )
+    exact, band = corpus_index(corpus, hash_impl="xxhash64")
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in incremental_dedup(
+            batch, corpus, exact, band, hash_impl="xxhash64"
+        ).collect()
+    }
+    assert got[100] == ("exact_dup", 0)
+    assert got[102] == ("near_dup", 0)
+    assert got[103] == ("new", None)
+    # md5 probe against the xxhash64 index must refuse loudly
+    with pytest.raises(ValueError, match="do not match the index build"):
+        incremental_dedup(batch, corpus, exact, band)
+    with pytest.raises(ValueError, match="do not match the index build"):
+        incremental_dedup(
+            batch, corpus, exact, band, hash_impl="xxhash64", num_hashes=8
+        )
+
+
 def test_merge_index_equals_rebuild_and_closes_the_loop(spark):
     """merge_index(snapshot indexes, accepted batch) == full rebuild over
     snapshot ∪ batch, row for row; after the merge, re-probing the same
