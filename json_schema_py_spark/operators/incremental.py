@@ -123,6 +123,23 @@ def corpus_index(
     return exact, banded
 
 
+def _check_band_meta(band_index: DataFrame, asked: dict) -> None:
+    """Refuse hash/banding parameters that disagree with what the index
+    was BUILT with (bound as bkey column metadata by corpus_index) — a
+    mismatch silently generates disjoint keys and verdicts every doc
+    'new'. Hand-built indexes without metadata skip the check."""
+    meta = band_index.schema["bkey"].metadata if "bkey" in band_index.columns else {}
+    if not meta:
+        return
+    built = {k: meta[k] for k in asked if k in meta}
+    if any(built[k] != asked[k] for k in built):
+        raise ValueError(
+            f"band-index probe/merge parameters {asked} do not match the "
+            f"index build {built}: the mismatched keys would silently "
+            f"match nothing — rebuild the index or fix the arguments"
+        )
+
+
 def merge_index(
     exact_index: DataFrame,
     band_index: DataFrame,
@@ -148,6 +165,15 @@ def merge_index(
     index construction distributes over union; hash params must match
     the original build. Recompute the hot-key set after merging (it's a
     property of the index)."""
+    _check_band_meta(
+        band_index,
+        {
+            "hash_impl": hash_impl,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+        },
+    )
     b_exact, b_band = corpus_index(
         accepted_batch,
         text_col=text_col,
@@ -204,21 +230,15 @@ def incremental_dedup(
     passing None recomputes it inline, which costs a full band-index
     aggregation PER BATCH — fine for one-shot use, wrong for a
     continuous probe loop."""
-    meta = band_index.schema["bkey"].metadata if "bkey" in band_index.columns else {}
-    if meta:
-        asked = {
+    _check_band_meta(
+        band_index,
+        {
             "hash_impl": hash_impl,
             "num_hashes": num_hashes,
             "bands": bands,
             "shingle_k": shingle_k,
-        }
-        built = {k: meta[k] for k in asked if k in meta}
-        if any(built[k] != asked[k] for k in built):
-            raise ValueError(
-                f"incremental_dedup probe parameters {asked} do not match "
-                f"the index build {built}: the probe would silently find "
-                f"nothing — rebuild the index or fix the probe arguments"
-            )
+        },
+    )
     b = batch.select(
         F.col(id_col).alias("new_id"),
         text_fingerprint(F.col(text_col)).alias("fingerprint"),

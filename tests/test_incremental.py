@@ -128,6 +128,12 @@ def test_incremental_xxhash_impl_same_verdicts_and_mismatch_guard(spark):
         incremental_dedup(
             batch, corpus, exact, band, hash_impl="xxhash64", num_hashes=8
         )
+    # merging an md5-built batch index into an xxhash64 snapshot index
+    # would corrupt it silently — same guard
+    from json_schema_py_spark.operators.incremental import merge_index
+
+    with pytest.raises(ValueError, match="do not match the index build"):
+        merge_index(exact, band, batch)
 
 
 def test_merge_index_equals_rebuild_and_closes_the_loop(spark):
