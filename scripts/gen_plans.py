@@ -95,6 +95,31 @@ def main() -> int:
         ),
     ]
 
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
+
+    ex_idx, band_idx = corpus_index(docs.where("doc_id < 400"))
+    probe_batch = docs.where("doc_id >= 400").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    sections.append(
+        (
+            "Incremental cross-snapshot dedup probe",
+            "incremental_dedup(batch, corpus, exact_index, band_index) — "
+            "the exact probe is one equi-join on fingerprint (index side "
+            "pre-distinct, AQE decides broadcast); the band probe joins "
+            "batch×bands id-only rows against the (band, bkey)-clustered "
+            "index; the verify step SEMI-JOINS the corpus to the candidate "
+            "id set BEFORE tokenizing, so shingles are computed only for "
+            "referenced corpus docs; best-match is a per-new_id window. "
+            "No forced broadcasts anywhere (asserted in "
+            "tests/test_incremental.py::test_incremental_no_forced_broadcast).",
+            incremental_dedup(probe_batch, docs.where("doc_id < 400"), ex_idx, band_idx),
+        )
+    )
+
     parts = [
         "# PLANS — `.explain(\"formatted\")` of the headline operators\n\n"
         "REGENERATED from the live optimizer by `python scripts/gen_plans.py`\n"
