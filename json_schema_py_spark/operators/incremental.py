@@ -61,7 +61,12 @@ from pyspark.sql import functions as F
 
 from json_schema_py_spark.functions.text import text_fingerprint, word_shingles
 from json_schema_py_spark.operators.dedup import _band_keys, _jaccard
-from json_schema_py_spark.util import ensure_parallelism
+from json_schema_py_spark.util import (
+    attach_per_text,
+    collapse_mode,
+    collapse_representatives,
+    ensure_parallelism,
+)
 
 
 def corpus_index(
@@ -72,6 +77,7 @@ def corpus_index(
     bands: int = 4,
     shingle_k: int = 3,
     hash_impl: str = "md5",
+    collapse="auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the two persisted dedup indexes of a corpus snapshot:
     (exact_index(fingerprint, rep_id), band_index(band, bkey, id)).
@@ -83,28 +89,68 @@ def corpus_index(
     exact Jaccard, hash-free). The build parameters ride along as column
     metadata on ``bkey`` and incremental_dedup REFUSES a probe whose
     parameters disagree — a mismatched probe would silently find nothing
-    (the contamination CMS width/depth lesson, ADVICE r05)."""
+    (the contamination CMS width/depth lesson, ADVICE r05).
+
+    ``collapse`` (round-7): signatures are pure functions of the text, so
+    on an exact-duplicate-heavy snapshot (the norm for crawl corpora; the
+    whole reason the exact tier exists) the band keys are computed once
+    per DISTINCT text and fanned back out to ids by raw-md5 — identical
+    rows, 1/dup-factor the hash work. "auto" (default) probes duplication
+    with one compact scan and collapses only when the representative set
+    is both small relative to the corpus AND small enough to broadcast
+    (util.should_collapse); True/False pin the choice without probing."""
     base = ensure_parallelism(corpus)
-    exact = (
-        base.select(
+
+    def _keys(c):
+        return _band_keys(
+            word_shingles(c, shingle_k), num_hashes, bands, hash_impl=hash_impl
+        )
+
+    mode = collapse_mode(base, text_col, collapse)
+    if mode != "off":
+        ids, rep_rows = collapse_representatives(base, text_col, id_col)
+        # exact tier collapses too: the normalized fingerprint is a pure
+        # function of the text, so normalize+md5 run once per distinct
+        # text and fan back out by raw-md5 before the same groupBy
+        rep_nfp = rep_rows.select(
+            F.md5(F.col(text_col)).alias("_rfp"),
             text_fingerprint(F.col(text_col)).alias("fingerprint"),
-            F.col(id_col).alias("id"),
         )
-        .groupBy("fingerprint")
-        .agg(F.min("id").alias("rep_id"))
-    )
+        exact = (
+            attach_per_text(ids, rep_nfp, mode)
+            .groupBy("fingerprint")
+            .agg(F.min("id").alias("rep_id"))
+        )
+        # posexplode BEFORE the join back: Generate's inferred pruning
+        # predicates (size(keys)>0, isnotnull) stay inside the small
+        # representative subtree — placed after the join they get pushed
+        # below the semi-join and re-evaluate the whole signature fold on
+        # every CORPUS row, which is the exact cost collapse exists to
+        # avoid (observed 17s vs 2s at 250k docs / 5k distinct texts)
+        rep_banded = rep_rows.select(
+            F.md5(F.col(text_col)).alias("_rfp"),
+            F.posexplode(_keys(F.col(text_col))).alias("band", "bkey"),
+        )
+        # inner join on _rfp: docs with NULL text drop here exactly as
+        # they do from posexplode(NULL bkeys) on the direct path
+        exploded = attach_per_text(ids, rep_banded, mode).select(
+            "id", "band", "bkey"
+        )
+    else:
+        exact = (
+            base.select(
+                text_fingerprint(F.col(text_col)).alias("fingerprint"),
+                F.col(id_col).alias("id"),
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("id").alias("rep_id"))
+        )
+        exploded = base.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_keys(F.col(text_col))).alias("band", "bkey"),
+        )
     banded = (
-        base.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                _band_keys(
-                    word_shingles(F.col(text_col), shingle_k),
-                    num_hashes,
-                    bands,
-                    hash_impl=hash_impl,
-                )
-            ).alias("band", "bkey"),
-        )
+        exploded
         .withMetadata(
             "bkey",
             {
@@ -229,7 +275,17 @@ def incremental_dedup(
     it once per index build and persist it alongside (it's tiny);
     passing None recomputes it inline, which costs a full band-index
     aggregation PER BATCH — fine for one-shot use, wrong for a
-    continuous probe loop."""
+    continuous probe loop.
+
+    Round-7 plan shape: the expensive per-text work (fingerprint,
+    shingles, 16-hash band keys, exact Jaccard) is computed once per
+    DISTINCT text / text pair and eagerly ``localCheckpoint``-ed. The
+    checkpoints are all bounded by contract — the batch is small, the
+    candidate set is cap-audited — and they stop DataFrame branch
+    re-execution (the signature projection was observed evaluating ~10x
+    across the verdict branches) and stop join-key null-inference from
+    pushing md5/shingle expressions below the corpus semi-join onto the
+    full snapshot scan."""
     _check_band_meta(
         band_index,
         {
@@ -239,27 +295,43 @@ def incremental_dedup(
             "shingle_k": shingle_k,
         },
     )
-    b = batch.select(
-        F.col(id_col).alias("new_id"),
-        text_fingerprint(F.col(text_col)).alias("fingerprint"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh_new"),
-    ).select(
-        "new_id",
-        "fingerprint",
-        "sh_new",
-        _band_keys(F.col("sh_new"), num_hashes, bands, hash_impl=hash_impl).alias(
-            "bkeys"
-        ),
+    # compact per-doc frame: id + raw-text fingerprint only (docs with
+    # NULL text keep a NULL _rfp row here so they still verdict 'new')
+    ids_b = batch.select(
+        F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("_rfp")
     )
+    # per-distinct-text table: ALL heavy batch-side expressions, once per
+    # text, materialized (batch-bounded by the operator's contract)
+    bt = (
+        batch.select(
+            F.md5(F.col(text_col)).alias("_rfp"), F.col(text_col).alias("_t")
+        )
+        .dropDuplicates(["_rfp"])
+        .select(
+            "_rfp",
+            text_fingerprint(F.col("_t")).alias("fingerprint"),
+            word_shingles(F.col("_t"), shingle_k).alias("sh_new"),
+        )
+        .select(
+            "_rfp",
+            "fingerprint",
+            "sh_new",
+            _band_keys(
+                F.col("sh_new"), num_hashes, bands, hash_impl=hash_impl
+            ).alias("bkeys"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bfp = ids_b.join(bt.select("_rfp", "fingerprint"), "_rfp")
 
-    exact_hits = b.join(exact_index, "fingerprint").select(
+    exact_hits = bfp.join(exact_index, "fingerprint").select(
         "new_id",
         F.lit("exact_dup").alias("verdict"),
         F.col("rep_id").alias("matched_id"),
         F.lit(None).cast("double").alias("jaccard"),
     )
 
-    rest = b.join(exact_index, "fingerprint", "left_anti")
+    rest = bfp.join(exact_index, "fingerprint", "left_anti")
 
     if hot_keys is None:
         hot_keys = incremental_oversized_keys(band_index, max_ids_per_bucket)
@@ -267,29 +339,53 @@ def incremental_dedup(
         hot_keys.select("band", "bkey"), ["band", "bkey"], "left_anti"
     )
     cand = (
-        rest.select("new_id", F.posexplode("bkeys").alias("band", "bkey"))
+        rest.select("new_id", "_rfp")
+        .join(bt.select("_rfp", "bkeys"), "_rfp")
+        .select("new_id", "_rfp", F.posexplode("bkeys").alias("band", "bkey"))
         .join(capped_index, ["band", "bkey"])
-        .select("new_id", F.col("id").alias("old_id"))
+        .select("new_id", "_rfp", F.col("id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
+        .localCheckpoint(eager=True)
     )
-    # candidate semi-join BEFORE tokenizing the corpus side: shingles are
-    # computed only for corpus docs some candidate actually references
-    # (AQE broadcasts the id set when small, shuffles otherwise — never a
-    # forced broadcast; the referential.py pattern). Without this the
-    # verify join's map side tokenizes the ENTIRE corpus per batch.
+    # candidate semi-join BEFORE touching corpus payloads: fingerprints
+    # and shingles are computed only for corpus docs some candidate
+    # actually references (AQE broadcasts the id set when small, shuffles
+    # otherwise — never a forced broadcast; the referential.py pattern),
+    # and the result is materialized so later joins cannot push md5
+    # null-checks below the semi-join onto the WHOLE corpus scan
+    # (observed: a full-corpus md5 pass per downstream join, ~200 core-s
+    # at 2M docs).
     matched_corpus = (
         corpus.select(F.col(id_col).alias("old_id"), F.col(text_col).alias("_t"))
         .join(cand.select("old_id").distinct(), "old_id", "left_semi")
-        .select("old_id", word_shingles(F.col("_t"), shingle_k).alias("sh_old"))
+        .select("old_id", F.md5(F.col("_t")).alias("_ofp"), "_t")
+        .localCheckpoint(eager=True)
     )
-    verified = (
-        cand.join(rest.select("new_id", "sh_new"), "new_id")
-        .join(matched_corpus, "old_id")
+    old_fps = matched_corpus.select("old_id", "_ofp")
+    # exact Jaccard once per DISTINCT text pair (candidate sets on
+    # duplicate-heavy snapshots repeat the same text pair across
+    # thousands of id pairs); shingle arrays exist once per distinct
+    # text and never ride a corpus-scale shuffle
+    old_sh_by_fp = (
+        matched_corpus.select("_ofp", "_t")
+        .dropDuplicates(["_ofp"])
+        .select("_ofp", word_shingles(F.col("_t"), shingle_k).alias("sh_old"))
+    )
+    pair_fps = cand.join(old_fps, "old_id")
+    pair_jacc = (
+        pair_fps.select("_rfp", "_ofp")
+        .dropDuplicates(["_rfp", "_ofp"])
+        .join(bt.select("_rfp", "sh_new"), "_rfp")
+        .join(old_sh_by_fp, "_ofp")
         .select(
-            "new_id",
-            "old_id",
+            "_rfp",
+            "_ofp",
             F.round(_jaccard(F.col("sh_new"), F.col("sh_old")), 6).alias("jaccard"),
         )
+    )
+    verified = (
+        pair_fps.join(pair_jacc, ["_rfp", "_ofp"])
+        .select("new_id", "old_id", "jaccard")
         .where(F.col("jaccard") >= threshold)
     )
     best = Window.partitionBy("new_id").orderBy(
@@ -308,7 +404,7 @@ def incremental_dedup(
 
     matched = exact_hits.select("new_id").unionByName(near_hits.select("new_id"))
     fresh = (
-        b.select("new_id")
+        ids_b.select("new_id")
         .join(matched, "new_id", "left_anti")
         .select(
             "new_id",

@@ -244,3 +244,51 @@ def test_incremental_no_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_corpus_index_collapse_identical_to_direct(spark):
+    """Round-7: the duplicate-text collapse (compute signatures once per
+    DISTINCT text, fan back out by raw-md5) must be row-identical to the
+    direct per-doc path on a replicated corpus — both tiers, both attach
+    modes — and auto mode must pick collapse on this fixture."""
+    from json_schema_py_spark.operators.incremental import corpus_index
+    from json_schema_py_spark.util import collapse_mode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reps = spark.range(8).select(F.col("id").alias("_r"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_r") * 1000).alias("doc_id"), "text"
+    )
+    assert collapse_mode(big, "text") == "broadcast"
+    e_direct, b_direct = corpus_index(big, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        e_c, b_c = corpus_index(big, collapse=mode)
+        assert e_c.exceptAll(e_direct).count() == 0
+        assert e_direct.exceptAll(e_c).count() == 0
+        assert b_c.exceptAll(b_direct).count() == 0
+        assert b_direct.exceptAll(b_c).count() == 0
+    # metadata guard survives the collapsed build
+    assert b_c.schema["bkey"].metadata["hash_impl"] == "md5"
+
+
+def test_incremental_dedup_null_text_rows_still_verdict_new(spark):
+    """NULL-text batch docs must keep flowing to the 'new' verdict (they
+    can never be exact or near dups) through the per-text collapse."""
+    from json_schema_py_spark.operators.incremental import (
+        corpus_index,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id < 300")
+    batch = docs.where("doc_id >= 300 and doc_id < 305").select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).alias("text"),
+    )
+    exact, band = corpus_index(corpus)
+    out = incremental_dedup(batch, corpus, exact, band)
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert len(got) == batch.count()
+    for did, verdict in got.items():
+        if (did - 1000) % 2 == 1:  # NULL text
+            assert verdict == "new", (did, verdict)
