@@ -100,15 +100,17 @@ def collapse_mode(df: DataFrame, text_col: str, collapse="auto") -> str:
     return "broadcast" if d < _COLLAPSE_BROADCAST_DISTINCT else "shuffle"
 
 
-def attach_per_text(ids: DataFrame, per_text: DataFrame, mode: str) -> DataFrame:
-    """Fan per-distinct-text results back out to every doc: inner join of
-    the compact (id, _rfp) frame against the per-text frame on _rfp, with
-    the build side pinned to the per-text table (see collapse_mode)."""
+def attach_per_text(
+    ids: DataFrame, per_text: DataFrame, mode: str, how: str = "inner"
+) -> DataFrame:
+    """Fan per-distinct-text results back out to every doc: join the
+    compact (id, _rfp) frame against the per-text frame on _rfp, with the
+    build side pinned to the per-text table (see collapse_mode)."""
     if mode == "broadcast":
         per_text = F.broadcast(per_text)
     else:
         per_text = per_text.hint("shuffle_hash")
-    return ids.join(per_text, "_rfp")
+    return ids.join(per_text, "_rfp", how)
 
 
 def collapse_representatives(

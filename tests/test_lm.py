@@ -146,3 +146,29 @@ def test_tfidf_top_terms_hand_computed(spark):
         tfidf_top_terms(docs, k=0)
     with _pytest.raises(ValueError, match="min_df"):
         tfidf_top_terms(docs, min_df=0)
+
+
+def test_lm_collapse_identical_to_direct(spark):
+    """Round-7: duplicate-text collapse (weighted counts, per-text
+    scoring) must reproduce the direct path's LM tables and scores
+    exactly on a replicated corpus."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = docs.crossJoin(spark.range(6).select(F.col("id").alias("_r"))).select(
+        (F.col("doc_id") + F.col("_r") * 1000).alias("doc_id"), "text"
+    )
+    v_d, u_d, b_d = train_bigram_lm(big, vocab_size=300, collapse=False)
+    v_c, u_c, b_c = train_bigram_lm(big, vocab_size=300, collapse="broadcast")
+    for a, b in ((v_d, v_c), (u_d, u_c), (b_d, b_c)):
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    s_d = score_perplexity(big, v_d, u_d, b_d, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        s_c = score_perplexity(big, v_d, u_d, b_d, collapse=mode)
+        assert s_c.count() == big.count()
+        # float sums may reassociate; compare at the gate's rounding
+        a = s_d.select("doc_id", "n_bigrams", F.round("perplexity", 6).alias("p"))
+        b = s_c.select("doc_id", "n_bigrams", F.round("perplexity", 6).alias("p"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
