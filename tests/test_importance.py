@@ -144,3 +144,40 @@ def test_importance_plan_shapes(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         hashed_ngram_profile(docs, 1)
+
+
+def test_importance_collapse_identical_to_direct(spark):
+    """Round-7: the duplicate-text collapse and the single-pass featurize
+    must reproduce the direct path exactly (counts are integers; log_w
+    compared at the gate's 6-digit rounding), including NULL-text docs
+    (NULL n_feats/log_w) and empty-text docs (0 / smoothing-only)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.importance import (
+        hashed_ngram_profile,
+        importance_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = docs.crossJoin(spark.range(6).select(F.col("id").alias("_r"))).select(
+        (F.col("doc_id") + F.col("_r") * 1000).alias("doc_id"),
+        F.when(F.col("doc_id") % 49 == 0, F.lit(None))
+        .when(F.col("doc_id") % 31 == 0, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    B = 4096
+    p_d = hashed_ngram_profile(big, B, collapse=False)
+    p_c = hashed_ngram_profile(big, B, collapse="broadcast")
+    assert p_d.exceptAll(p_c).count() == 0 and p_c.exceptAll(p_d).count() == 0
+    t = hashed_ngram_profile(big.where("doc_id % 7 = 0"), B, collapse=False)
+    w_d = importance_weights(big, t, p_d, B, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        w_c = importance_weights(big, t, p_d, B, collapse=mode)
+        assert w_c.count() == big.count()
+        a = w_d.select("doc_id", "n_feats", F.round("log_w", 6).alias("w"))
+        b = w_c.select("doc_id", "n_feats", F.round("log_w", 6).alias("w"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # NULL-text rows carry NULL n_feats (r6 size(NULL) semantics)
+    nulls = w_d.where(F.col("n_feats").isNull()).count()
+    assert nulls == big.where(F.col("text").isNull()).count() and nulls > 0
