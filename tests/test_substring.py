@@ -131,3 +131,32 @@ def test_strip_boilerplate_lines_preserves_bytes_and_order(spark):
     hot2 = hot_lines(all_nav, min_docs=2)
     row = {r["doc_id"]: r for r in strip_boilerplate_lines(all_nav, hot2).collect()}
     assert row[9]["clean_text"] == "" and row[9]["n_removed_lines"] == 1
+
+
+def test_substring_collapse_identical_to_direct(spark):
+    """Round-7: hot_ngrams multiplicity-weighted counting and the
+    per-distinct-text strip must be row-identical to the direct path on
+    a replicated corpus, including NULL-text docs."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.substring import (
+        hot_ngrams,
+        strip_duplicate_ngrams,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = docs.crossJoin(spark.range(6).select(F.col("id").alias("_r"))).select(
+        (F.col("doc_id") + F.col("_r") * 1000).alias("doc_id"),
+        F.when(F.col("doc_id") % 47 == 0, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    h_d = hot_ngrams(big, k=3, min_count=6, collapse=False)
+    h_c = hot_ngrams(big, k=3, min_count=6, collapse="broadcast")
+    assert h_d.exceptAll(h_c).count() == 0 and h_c.exceptAll(h_d).count() == 0
+    hot = h_d
+    s_d = strip_duplicate_ngrams(big, hot, k=3, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        s_c = strip_duplicate_ngrams(big, hot, k=3, collapse=mode)
+        assert s_c.count() == big.count()
+        assert s_d.exceptAll(s_c).count() == 0 and s_c.exceptAll(s_d).count() == 0
