@@ -42,7 +42,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from json_schema_py_spark.functions.text import tokens
-from json_schema_py_spark.util import ensure_parallelism
+from json_schema_py_spark.util import (
+    attach_per_text,
+    collapse_mode,
+    collapse_representatives,
+    ensure_parallelism,
+)
 
 
 def train_nb_classifier(
@@ -51,6 +56,7 @@ def train_nb_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    collapse="auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(weights, bias)``.
 
@@ -67,11 +73,24 @@ def train_nb_classifier(
     arithmetic producing NULL/NaN rather than eagerly scanning."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    toks = ensure_parallelism(docs).select(
-        F.col(label_col).cast("int").alias("_lbl"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
-    )
-    by_class = toks.groupBy("_lbl", "token").agg(F.count(F.lit(1)).alias("_c"))
+    base = ensure_parallelism(docs)
+    if collapse_mode(base, text_col, collapse) != "off":
+        # round-7 duplicate collapse: tokenize once per distinct
+        # (text, label) pair, count with multiplicity weights — the
+        # groupBy collapses replicas map-side before any shuffle
+        src = base.groupBy(
+            F.col(text_col).alias("_t"), F.col(label_col).cast("int").alias("_lbl")
+        ).agg(F.count(F.lit(1)).alias("_w"))
+        toks_w = src.select(
+            "_lbl", "_w", F.explode_outer(tokens(F.col("_t"))).alias("token")
+        ).where(F.col("token").isNotNull())
+        by_class = toks_w.groupBy("_lbl", "token").agg(F.sum("_w").alias("_c"))
+    else:
+        toks = base.select(
+            F.col(label_col).cast("int").alias("_lbl"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        by_class = toks.groupBy("_lbl", "token").agg(F.count(F.lit(1)).alias("_c"))
     counts = by_class.groupBy("token").agg(
         F.sum(F.when(F.col("_lbl") == 1, F.col("_c")).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("_lbl") == 0, F.col("_c")).otherwise(0)).alias("c0"),
@@ -110,14 +129,51 @@ def score_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 6,
+    collapse="auto",
 ) -> DataFrame:
     """(doc_id, n_tokens, matched, score) — log-odds quality score per
     document: bias + sum of weights over token OCCURRENCES (a token seen
     twice counts twice, the multinomial convention). ``matched`` counts
     occurrences found in the training vocabulary; tokens outside it
     contribute 0 (the standard open-vocabulary fallback). Documents with
-    zero tokens score exactly ``bias``."""
-    toks = ensure_parallelism(docs).select(
+    zero tokens score exactly ``bias``.
+
+    ``collapse`` (round-7): the score is a pure function of (text,
+    model) — duplicate-heavy corpora score once per DISTINCT text and
+    fan back out to ids by raw-md5 (util.collapse_mode)."""
+    base = ensure_parallelism(docs)
+    mode = collapse_mode(base, text_col, collapse)
+    if mode != "off":
+        ids, rep_rows = collapse_representatives(base, text_col, id_col)
+        src = rep_rows.select(
+            F.md5(F.col(text_col)).alias("_rfp"), F.col(text_col).alias("_t")
+        )
+        toks = src.select(
+            "_rfp", F.explode_outer(tokens(F.col("_t"))).alias("token")
+        ).where(F.col("token").isNotNull())
+        scored = toks.join(weights.select("token", "weight"), "token", "left")
+        agg = scored.groupBy("_rfp").agg(
+            F.count(F.col("token")).alias("n_tokens"),
+            F.count(F.col("weight")).alias("matched"),
+            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("_w_sum"),
+        )
+        # LEFT attach + coalesce: zero-token and NULL-text docs score
+        # exactly bias with 0 counts, as on the direct path
+        per_text = src.select("_rfp").join(agg, "_rfp", "left")
+        return (
+            attach_per_text(ids, per_text, mode, how="left")
+            .crossJoin(F.broadcast(bias))
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("matched", F.lit(0)).alias("matched"),
+                F.round(
+                    F.coalesce(F.col("_w_sum"), F.lit(0.0)) + F.col("bias"),
+                    round_to,
+                ).alias("score"),
+            )
+        )
+    toks = base.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens(F.col(text_col))).alias("token"),
     )

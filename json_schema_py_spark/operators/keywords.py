@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from json_schema_py_spark.functions.text import tokens
-from json_schema_py_spark.util import ensure_parallelism
+from json_schema_py_spark.util import (
+    attach_per_text,
+    collapse_mode,
+    collapse_representatives,
+    ensure_parallelism,
+)
 
 
 def tfidf_top_terms(
@@ -35,31 +40,64 @@ def tfidf_top_terms(
     k: int = 5,
     min_df: int = 1,
     round_to: int = 6,
+    collapse="auto",
 ) -> DataFrame:
     """(doc_id, term, tf, df, tfidf, rank) — each document's top ``k``
     terms by tf-idf (rank 1 = most salient; ties break by term ASC, so
     two runs always pick the same terms). Terms appearing in fewer than
-    ``min_df`` documents are excluded BEFORE ranking (hapax noise)."""
+    ``min_df`` documents are excluded BEFORE ranking (hapax noise).
+
+    ``collapse`` (round-7, util.collapse_mode): a document's top-k terms
+    are a pure function of (text, df table, N) — duplicate-heavy corpora
+    compute tf and the ranked top-k once per DISTINCT text (df counts
+    are multiplicity-weighted, integer-identical) and fan the k rows
+    back out to ids by raw-md5."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= min_df)
-    )
     # N folded into the plan as a broadcast 1-row aggregate — an eager
     # .count() would scan the corpus once at plan-build time and again in
     # the real job (review r05)
     n_row = F.broadcast(
         docs.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_N"))
     )
+    base = ensure_parallelism(docs)
+    mode = collapse_mode(base, text_col, collapse)
+    if mode != "off":
+        ids, rep_rows = collapse_representatives(base, text_col, id_col)
+        mult = (
+            base.select(F.md5(F.col(text_col)).alias("_rfp"))
+            .groupBy("_rfp")
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+        src = rep_rows.select(
+            F.md5(F.col(text_col)).alias("_rfp"), F.col(text_col).alias("_t")
+        )
+        toks = src.select(
+            "_rfp", F.explode_outer(tokens(F.col("_t"))).alias("term")
+        ).where(F.col("term").isNotNull())
+        tf = toks.groupBy("_rfp", "term").agg(F.count(F.lit(1)).alias("tf"))
+        # df = docs containing the term = sum of text multiplicities
+        dfreq = (
+            tf.join(mult, "_rfp")
+            .groupBy("term")
+            .agg(F.sum("_w").alias("df"))
+            .where(F.col("df") >= min_df)
+        )
+        key = "_rfp"
+    else:
+        toks = base.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") >= min_df)
+        )
+        key = "doc_id"
     # dfreq is vocabulary-sized (unbounded at web scale): no broadcast
     # hint — the shuffle join on term is the right plan, and the size
     # threshold still auto-broadcasts genuinely small vocabularies
@@ -78,11 +116,14 @@ def tfidf_top_terms(
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    return (
+    w = Window.partitionBy(key).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+        .select(key, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+    if mode == "off":
+        return topk
+    return attach_per_text(ids, topk, mode).select(
+        F.col("id").alias("doc_id"), "term", "tf", "df", "tfidf", "rank"
     )

@@ -84,3 +84,39 @@ def test_classifier_validation(spark):
     docs = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="alpha"):
         train_nb_classifier(docs, alpha=0.0)
+
+
+def test_classifier_and_tfidf_collapse_identical_to_direct(spark):
+    """Round-7: duplicate-text collapse must reproduce the direct path
+    for NB train/score and tf-idf top-k exactly (scores at the gate's
+    6-digit rounding), including NULL-text docs."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.classifier import (
+        score_quality,
+        train_nb_classifier,
+    )
+    from json_schema_py_spark.operators.keywords import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = docs.crossJoin(spark.range(6).select(F.col("id").alias("_r"))).select(
+        (F.col("doc_id") + F.col("_r") * 1000).alias("doc_id"),
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.crc32(F.col("text")) % 2 == 0).cast("int").alias("label"),
+    )
+    w_d, b_d = train_nb_classifier(big, collapse=False)
+    w_c, b_c = train_nb_classifier(big, collapse="broadcast")
+    a = w_d.select("token", "c1", "c0", F.round("weight", 9).alias("w"))
+    b = w_c.select("token", "c1", "c0", F.round("weight", 9).alias("w"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    s_d = score_quality(big, w_d, b_d, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        s_c = score_quality(big, w_d, b_d, collapse=mode)
+        assert s_c.count() == big.count()
+        assert s_d.exceptAll(s_c).count() == 0 and s_c.exceptAll(s_d).count() == 0
+    t_d = tfidf_top_terms(big, k=3, min_df=2, collapse=False)
+    for mode in ("broadcast", "shuffle"):
+        t_c = tfidf_top_terms(big, k=3, min_df=2, collapse=mode)
+        assert t_d.exceptAll(t_c).count() == 0 and t_c.exceptAll(t_d).count() == 0
