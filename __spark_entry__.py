@@ -1340,7 +1340,7 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """48 gate queries (round-6 consolidation, VERDICT r05 item 1): the
+    """50 gate queries (round-6 consolidation, VERDICT r05 item 1): the
     driver records at most 50 CORRECTNESS rows, so same-fixture families
     merged into multi-arm queries with an ``arm`` discriminator column —
     every registered operator now gets a driver row every round. The

@@ -46,11 +46,14 @@ def uniqueness_violations(
     df: DataFrame, key: str = "doc_id", salt_buckets: Optional[int] = 64
 ) -> DataFrame:
     """Violation rows for duplicated keys — one row PER OFFENDING ROW (all
-    rows sharing the value), via a broadcast-friendly semi join of the
-    (small) duplicate-key set back onto the table."""
+    rows sharing the value), via a join of the duplicate-key set back
+    onto the table. NOT force-broadcast (round-7, VERDICT r06): on a
+    heavily-duplicated corpus — exactly when this operator matters — the
+    duplicate-key set is corpus-scale and a forced hint would override
+    the size threshold; AQE auto-broadcasts genuinely small sets."""
     dups = duplicate_keys(df, key, salt_buckets)
     return (
-        df.join(F.broadcast(dups), key, "inner")
+        df.join(dups, key, "inner")
         .select(
             F.col(key).cast("string").alias("doc_id"),
             F.lit(ErrorCode.UNIQUENESS_VIOLATION.value).alias("rule_id"),

@@ -592,3 +592,19 @@ def test_substring_hot_table_is_not_force_broadcast(spark):
         plan = _physical(strip_duplicate_ngrams(docs, hot, k=8))
     assert "SortMergeJoin" in plan, "hot joins must survive without broadcast"
     assert "BroadcastHashJoin" not in plan
+
+
+def test_uniqueness_violation_join_is_not_force_broadcast(spark):
+    """Round-7 (VERDICT r06 item 3): the duplicate-key set is corpus-scale
+    on a heavily-duplicated corpus — the join back onto the table must
+    survive without a forced broadcast; AQE auto-broadcasts small sets."""
+    from json_schema_py_spark.operators.uniqueness import uniqueness_violations
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dup = docs.select("doc_id").unionByName(
+        docs.select("doc_id").limit(5)
+    )
+    with _with_auto_broadcast_off(spark):
+        plan = _physical(uniqueness_violations(dup, "doc_id"))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, "no equi-join may be force-broadcast"
