@@ -353,7 +353,7 @@ def test_disk_compile_cache_disabled_and_corrupt_entry(tmp_path, monkeypatch):
 
     cc = tmp_path / "cc2"
     monkeypatch.setenv("SPARK_SCHEMA_COMPILE_CACHE", str(cc))
-    key = C._compile_cache_key(schema, st, "viol:False")
+    key = C._compile_cache_key(schema, st, "viol:False:bindTrue")
     path = C._disk_cache_path(key)
     path.parent.mkdir(parents=True)
     path.write_bytes(b"not a java object stream")
@@ -376,7 +376,7 @@ def test_disk_cache_refuses_untrusted_dir_and_sets_modes(tmp_path, monkeypatch, 
 
     st = T.StructType([T.StructField("q", T.LongType())])
     schema = {"properties": {"q": {"minimum": 0}}}
-    key = C._compile_cache_key(schema, st, "viol:False")
+    key = C._compile_cache_key(schema, st, "viol:False:bindTrue")
 
     # (a) fresh dir: store creates it 0700, entry file 0600
     cc = tmp_path / "secure"
@@ -392,7 +392,7 @@ def test_disk_cache_refuses_untrusted_dir_and_sets_modes(tmp_path, monkeypatch, 
     os.chmod(cc, 0o777)
     assert C._trusted_cache_dir() is None
     assert C._disk_cache_load(key) is None
-    key2 = C._compile_cache_key({"properties": {"q": {"minimum": 7}}}, st, "viol:False")
+    key2 = C._compile_cache_key({"properties": {"q": {"minimum": 7}}}, st, "viol:False:bindTrue")
     C._COMPILE_CACHE.pop(key2, None)
     C.compile_ruleset({"properties": {"q": {"minimum": 7}}}, st)
     assert len(list(cc.glob("*.expr"))) == 1  # nothing new seeded

@@ -515,3 +515,30 @@ def test_map_pattern_properties_exclude_static_and_escape_keys(spark):
     }
     out3 = {(r["rule_id"], r["path"]) for r in validate(df, schema3).collect()}
     assert out3 == {("NUMBER_TOO_SMALL", "/m/a~1b")}
+
+
+def test_compile_bind_forms_identical_and_autoselected(spark):
+    """Round-7: the whole-stage-codegen (bind_row=False) and row-bound
+    (True) ruleset forms must be value-identical, and with_violations must
+    pick the codegen form only for plain relation scans."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.schema.compiler import (
+        _is_plain_relation,
+        compile_ruleset,
+        with_violations,
+    )
+    from json_schema_py_spark.sources.synth import DOCUMENTS_RULESET, spans_documents
+
+    sd = spans_documents(spark, "/root/testdata/sf0.001")
+    a = sd.withColumn("v", compile_ruleset(DOCUMENTS_RULESET, sd.schema, bind_row=True))
+    b = sd.withColumn("v", compile_ruleset(DOCUMENTS_RULESET, sd.schema, bind_row=False))
+    sa = a.select("doc_id", F.explode("v").alias("x")).select("doc_id", "x.*")
+    sb = b.select("doc_id", F.explode("v").alias("x")).select("doc_id", "x.*")
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+    assert sa.count() > 0
+    # plan-shape autoselection
+    plain = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _is_plain_relation(plain)
+    assert not _is_plain_relation(sd)
+    assert not _is_plain_relation(plain.withColumn("x", F.lit(1)))
