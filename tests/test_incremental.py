@@ -292,3 +292,26 @@ def test_incremental_dedup_null_text_rows_still_verdict_new(spark):
     for did, verdict in got.items():
         if (did - 1000) % 2 == 1:  # NULL text
             assert verdict == "new", (did, verdict)
+
+
+def test_xxhash64_sentinel_not_clamping(spark):
+    """ADVICE r06: xxhash64 spans the full signed 64-bit range, so the
+    fold init must be Long.MAX — signature slots whose true min exceeds
+    2^62 must keep their real value, not clamp to the old sentinel."""
+    from pyspark.sql import functions as F
+
+    from json_schema_py_spark.operators.dedup import minhash_signatures
+
+    # single-shingle docs: sig slot == the one hash value, which lands
+    # above 2^62 with prob ~1/4 per slot — plant until one does
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id"), F.lit(" a b")).alias("text"),
+    )
+    sig = minhash_signatures(docs, hash_impl="xxhash64").select(
+        F.explode("sig").alias("h")
+    )
+    over = sig.where(F.col("h") > F.lit(1 << 62)).count()
+    clamped = sig.where(F.col("h") == F.lit(1 << 62)).count()
+    assert over > 0, "expected some true minima above 2^62"
+    assert clamped == 0, "no slot may clamp to the old sentinel"
