@@ -112,15 +112,26 @@ def train_bigram_lm(
         # explode_outer + filter (not plain explode): a non-outer
         # Generate's inferred size()>0 predicate would be pushed below
         # the representative semi-join and re-tokenize the full corpus.
-        _, rep_rows = collapse_representatives(base, text_col, id_col)
-        mult = (
-            base.select(F.md5(F.col(text_col)).alias("_rfp"))
-            .groupBy("_rfp")
-            .agg(F.count(F.lit(1)).alias("_w"))
+        # ONE compact groupBy yields both the multiplicity table and the
+        # representative ids, eagerly localCheckpoint-ed (bounded at the
+        # probe-verified distinct-text count): the three LM tables the
+        # caller materializes (vocab, unigrams, bigrams) each re-evaluate
+        # this subtree, and without the checkpoint every materialization
+        # paid two extra full-corpus md5 scans
+        ids = base.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_rfp")
+        )
+        grp = (
+            ids.groupBy("_rfp")
+            .agg(F.count(F.lit(1)).alias("_w"), F.min("id").alias("_rid"))
+            .localCheckpoint(eager=True)
+        )
+        rep_rows = base.join(
+            grp.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
         )
         src = rep_rows.select(
             F.md5(F.col(text_col)).alias("_rfp"), F.col(text_col).alias("_t")
-        ).join(mult, "_rfp")
+        ).join(grp.select("_rfp", "_w"), "_rfp")
         toks_w = src.select(
             "_w", F.explode_outer(tokens(F.col("_t"))).alias("tok")
         ).where(F.col("tok").isNotNull())
