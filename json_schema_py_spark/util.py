@@ -40,14 +40,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 # SAFE for the 100 TB doctrine when the representative-id set is small
 # enough that AQE auto-broadcasts the semi-join back to the payload (a
 # corpus-scale representative set would otherwise force a payload
-# shuffle, which the direct path never does). ``should_collapse`` probes
+# shuffle, which the direct path never does). ``collapse_mode`` probes
 # both conditions with ONE eager compact aggregation; callers expose a
 # ``collapse="auto"|True|False`` escape hatch so production jobs with
 # known-unique corpora skip the probe scan entirely.
 
 _COLLAPSE_MAX_RATIO = float(os.environ.get("JSPS_COLLAPSE_MAX_RATIO", "0.5"))
+# cap chosen so the representative-ID set is ALWAYS genuinely
+# auto-broadcastable for the payload semi-join (2M bigints ≈ 16 MB raw,
+# well under the 64 MB session threshold even after HashedRelation
+# overhead) — the collapse path must never degrade to shuffling the
+# corpus payload, which the direct path never does
 _COLLAPSE_MAX_DISTINCT = int(
-    os.environ.get("JSPS_COLLAPSE_MAX_DISTINCT", str(4_000_000))
+    os.environ.get("JSPS_COLLAPSE_MAX_DISTINCT", str(2_000_000))
 )
 _COLLAPSE_BROADCAST_DISTINCT = int(
     os.environ.get("JSPS_COLLAPSE_BROADCAST_DISTINCT", str(200_000))
@@ -73,10 +78,11 @@ def collapse_mode(df: DataFrame, text_col: str, collapse="auto") -> str:
       * distinct/total < JSPS_COLLAPSE_MAX_RATIO (default 0.5 — at least
         2x average replication, so the saved work clearly exceeds the
         probe + join-back overhead), and
-      * distinct count < JSPS_COLLAPSE_MAX_DISTINCT (default 4M — a
+      * distinct count < JSPS_COLLAPSE_MAX_DISTINCT (default 2M — a
         representative-id set small enough that the semi-join back to
-        the payload broadcasts; beyond it the join back would shuffle
-        the corpus payload, which the direct path never does).
+        the payload genuinely auto-broadcasts; beyond it the join back
+        would shuffle the corpus payload, which the direct path never
+        does).
     The attach join is "broadcast" only when the PROBE proved the
     per-text table tiny (< JSPS_COLLAPSE_BROADCAST_DISTINCT, default
     200k — bounded by measurement, the DSIR ≤B-row precedent); otherwise
@@ -122,8 +128,9 @@ def collapse_representatives(
                  (raw, not normalized: signatures/scores are functions of
                  the exact bytes). Compact — never carries the payload.
     * rep_rows — the representative payload rows (min id per fingerprint),
-                 one per distinct text, via a semi-join the size probe has
-                 already guaranteed AQE will broadcast.
+                 one per distinct text, via a semi-join whose build side the
+                 size probe has already bounded under the auto-broadcast
+                 threshold (collapse_mode's MAX_DISTINCT cap).
 
     Compute the per-text signal over ``rep_rows``, key it by
     ``F.md5(text)``, and inner-join ``ids`` on ``_rfp`` to fan results
