@@ -28,7 +28,6 @@ from json_schema_py_spark.functions.text import tokens
 from json_schema_py_spark.util import (
     attach_per_text,
     collapse_mode,
-    collapse_representatives,
     ensure_parallelism,
 )
 
@@ -65,11 +64,24 @@ def tfidf_top_terms(
     base = ensure_parallelism(docs)
     mode = collapse_mode(base, text_col, collapse)
     if mode != "off":
-        ids, rep_rows = collapse_representatives(base, text_col, id_col)
-        mult = (
-            base.select(F.md5(F.col(text_col)).alias("_rfp"))
-            .groupBy("_rfp")
-            .agg(F.count(F.lit(1)).alias("_w"))
+        # ONE compact groupBy yields BOTH the multiplicity table and the
+        # representative ids (the train_bigram_lm shape) — fusing the
+        # separate `mult` aggregation of the first draft removed one full
+        # md5 corpus scan. Eagerly localCheckpoint-ed: bounded at the
+        # probe-verified distinct-text count, and both downstream
+        # consumers (the weighted df and the representative semi-join)
+        # read the materialized table instead of re-scanning the corpus.
+        ids = base.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_rfp")
+        )
+        grp = (
+            ids.groupBy("_rfp")
+            .agg(F.count(F.lit(1)).alias("_w"), F.min("id").alias("_rid"))
+            .localCheckpoint(eager=True)
+        )
+        mult = grp.select("_rfp", "_w")
+        rep_rows = base.join(
+            grp.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
         )
         src = rep_rows.select(
             F.md5(F.col(text_col)).alias("_rfp"), F.col(text_col).alias("_t")
